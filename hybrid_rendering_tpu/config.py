@@ -1,0 +1,175 @@
+"""Config dataclass tree — the TPU-native replacement for the reference's
+ImGui-mutated pass members (SURVEY §5 "Config/flag system").
+
+Scalars that feed kernels as traced values can change without recompiling;
+shape-changing fields (resolution, scale, rays_per_probe, grid dims) force a
+re-jit, mirroring the reference's "destroy and reconstruct the pass" on those
+same knobs (src/main.cpp:542-651, src/ddgi.cpp:115-118).
+
+Defaults replicate the reference's defaults, cited per field.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import IntEnum
+
+
+class RayTraceScale(IntEnum):
+    """Reference RAY_TRACE_SCALE_* (src/common.h:39-44)."""
+
+    FULL = 0
+    HALF = 1
+    QUARTER = 2
+
+    @property
+    def divisor(self) -> int:
+        return 1 << int(self)
+
+
+@dataclass(frozen=True)
+class ShadowsConfig:
+    """Ray-traced shadows pass (src/ray_traced_shadows.h)."""
+
+    enabled: bool = True
+    scale: RayTraceScale = RayTraceScale.FULL  # ray_traced_shadows.h:23
+    bias: float = 0.5  # ray offset along normal
+    soft_shadows: bool = True
+    # temporal accumulation (ray_traced_shadows.h:69-70)
+    alpha: float = 0.01
+    moments_alpha: float = 0.2
+    history_cap: float = 32.0  # shadows_denoise_reprojection.comp:237
+    # a-trous (ray_traced_shadows.h:104-109)
+    denoise: bool = True
+    atrous_iterations: int = 4
+    atrous_radius: int = 1
+    feedback_iteration: int = 1
+    phi_visibility: float = 0.3
+    phi_normal: float = 32.0
+    sigma_depth: float = 1.0
+    power: float = 1.2  # pow() darkening on final iteration
+
+
+@dataclass(frozen=True)
+class AOConfig:
+    """Ray-traced ambient occlusion (src/ray_traced_ao.h)."""
+
+    enabled: bool = True
+    scale: RayTraceScale = RayTraceScale.HALF  # ray_traced_ao.h:23
+    ray_length: float = 7.0  # ray_traced_ao.h:53
+    bias: float = 0.3  # ray_traced_ao.h:54
+    # temporal
+    alpha: float = 0.01
+    history_cap: float = 32.0
+    denoise: bool = True
+    blur_radius: int = 4  # separable bilateral radius
+    power: float = 1.2  # ao_upsample.comp:108
+
+
+@dataclass(frozen=True)
+class ReflectionsConfig:
+    """Ray-traced reflections (src/ray_traced_reflections.h)."""
+
+    enabled: bool = True
+    scale: RayTraceScale = RayTraceScale.HALF  # ray_traced_reflections.h:24
+    bias: float = 0.5
+    trim: float = 0.8  # GGX sample trim (reflections_ray_trace.rgen:157-166)
+    approximate_with_ddgi: bool = True  # roughness>0.75 -> sample DDGI, no ray
+    sample_gi: bool = True  # rchit adds DDGI indirect
+    gi_intensity: float = 0.5
+    rough_ddgi_intensity: float = 0.5
+    ibl_indirect_specular_intensity: float = 0.05
+    firefly_clamp: float = 0.7  # rgen:168
+    mirror_roughness_threshold: float = 0.05  # common.glsl MIRROR_*
+    ddgi_roughness_threshold: float = 0.75  # common.glsl DDGI_*
+    # temporal
+    alpha: float = 0.01
+    moments_alpha: float = 0.2
+    accumulation_cap_moving: float = 8.0  # reflections_denoise_reprojection.comp:161-168
+    history_cap: float = 32.0
+    denoise: bool = True
+    atrous_iterations: int = 4
+    atrous_radius: int = 1
+    feedback_iteration: int = 1
+    phi_color: float = 10.0
+    phi_normal: float = 32.0
+    sigma_depth: float = 1.0
+
+
+@dataclass(frozen=True)
+class DDGIConfig:
+    """DDGI probe-grid GI (src/ddgi.h:54-97)."""
+
+    enabled: bool = True
+    scale: RayTraceScale = RayTraceScale.HALF
+    probe_distance: float = 1.0  # per-scene override (src/main.cpp:1092-1142)
+    rays_per_probe: int = 256  # ddgi.h:56
+    irradiance_oct_size: int = 8  # texels per probe side (ddgi.cpp:196)
+    depth_oct_size: int = 16
+    hysteresis: float = 0.98  # ddgi.h:73
+    depth_sharpness: float = 50.0
+    normal_bias: float = 0.25  # per-scene override
+    energy_preservation: float = 0.85
+    recursive_energy_preservation: float = 0.85
+    infinite_bounces: bool = True
+    infinite_bounce_intensity: float = 1.7
+    gi_intensity: float = 1.0
+    visibility_test: bool = True
+    max_distance_factor: float = 1.5  # max_distance = 1.5*probe_distance (ddgi.cpp:169)
+    probe_grid_padding: int = 2  # +2 probes per axis (ddgi.cpp:150-169)
+
+
+@dataclass(frozen=True)
+class TAAConfig:
+    """Temporal AA (src/temporal_aa.h, src/shaders/taa.comp)."""
+
+    enabled: bool = True
+    sharpen: bool = True
+    feedback_min: float = 0.88
+    feedback_max: float = 0.97
+
+
+@dataclass(frozen=True)
+class ToneMapConfig:
+    exposure: float = 1.0
+    aces: bool = True
+    gamma: float = 2.2
+
+
+@dataclass(frozen=True)
+class PathTracerConfig:
+    """Ground-truth path tracer (src/ground_truth_path_tracer.h). Unlike
+    the reference (whose recursive bounce is commented out,
+    ground_truth_path_trace.rchit:94-105) the indirect bounce is live."""
+
+    max_ray_bounces: int = 3
+    shadow_ray_bias: float = 0.1
+    sample_sky: bool = True
+
+
+@dataclass(frozen=True)
+class DeferredConfig:
+    indirect_specular_strength: float = 2.0  # deferred.frag:28
+
+
+@dataclass(frozen=True)
+class RendererConfig:
+    """Top-level config — one per HybridRenderer instance."""
+
+    width: int = 1920
+    height: int = 1080
+    shadows: ShadowsConfig = field(default_factory=ShadowsConfig)
+    ao: AOConfig = field(default_factory=AOConfig)
+    reflections: ReflectionsConfig = field(default_factory=ReflectionsConfig)
+    ddgi: DDGIConfig = field(default_factory=DDGIConfig)
+    taa: TAAConfig = field(default_factory=TAAConfig)
+    tonemap: ToneMapConfig = field(default_factory=ToneMapConfig)
+    path_tracer: PathTracerConfig = field(default_factory=PathTracerConfig)
+    deferred: DeferredConfig = field(default_factory=DeferredConfig)
+    # compute options
+    use_bvh: bool = True
+    bvh_stack_depth: int = 32
+    dtype: str = "float32"  # accumulators stay f32; images may be bf16
+
+    def replace(self, **kw) -> "RendererConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,304 @@
+"""LBVH build + stackless (skip-link) wavefront traversal.
+
+TPU-native replacement for VK_KHR_acceleration_structure (BLAS/TLAS,
+SURVEY §2.9 dw::RayTracedScene): the scene's triangle soup gets a
+Morton-ordered median-split BVH built host-side at scene compile, stored as
+flat arrays in **preorder (DFS) with skip links** so device traversal needs
+no stack — each ray carries a single node pointer:
+
+    next = node+1        on AABB hit (preorder child follows parent)
+    next = skip[node]    on miss / after a leaf
+
+This maps perfectly onto a vectorized ``lax.while_loop`` over the whole ray
+batch: every step is pure gathers + VPU math, no divergence, no dynamic
+shapes. The reference's per-ray ``rayQueryProceedEXT`` loop
+(src/shaders/ray_query.glsl:34-59) becomes a batch-synchronous loop that
+runs until every ray's pointer walks off the end.
+
+Build is numpy host-side (scenes are static; reference rebuilds only the
+TLAS per frame, src/main.cpp:74 — our instance transforms are folded into
+the soup at compile, refit comes with dynamic scenes).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hybrid_rendering_tpu.types import Hit, SceneArrays
+
+LEAF_SIZE = 4
+
+
+# ---------------------------------------------------------------------------
+# Build (host, numpy)
+# ---------------------------------------------------------------------------
+
+def _expand_bits(v: np.ndarray) -> np.ndarray:
+    """Spread 10 bits to every 3rd bit (for 30-bit Morton codes)."""
+    v = v.astype(np.uint64)
+    v = (v * 0x00010001) & 0xFF0000FF
+    v = (v * 0x00000101) & 0x0F00F00F
+    v = (v * 0x00000011) & 0xC30C30C3
+    v = (v * 0x00000005) & 0x49249249
+    return v
+
+
+def morton3d(xyz01: np.ndarray) -> np.ndarray:
+    """xyz in [0,1]^3 -> 30-bit Morton codes. (N,3) -> (N,)"""
+    q = np.clip(xyz01 * 1024.0, 0.0, 1023.0).astype(np.uint32)
+    return (
+        (_expand_bits(q[:, 0]) << 2)
+        | (_expand_bits(q[:, 1]) << 1)
+        | _expand_bits(q[:, 2])
+    )
+
+
+def build_bvh(tri_pos: np.ndarray, leaf_size: int = LEAF_SIZE):
+    """Build the BVH. tri_pos: (T,3,3) float32 world-space triangles.
+
+    Returns (nodes_min (N,3) f32, nodes_max (N,3) f32,
+             nodes_meta (N,3) i32 [first_tri, tri_count, skip_link],
+             order (T,) i32 triangle permutation into leaf order).
+    tri_count == 0 marks internal nodes.
+    """
+    tri_pos = np.asarray(tri_pos, np.float32)
+    T = tri_pos.shape[0]
+    centroids = tri_pos.mean(axis=1)
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-8)
+    codes = morton3d((centroids - lo) / extent)
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    tri_lo = tri_pos.min(axis=1)[order]  # (T,3) per-tri AABBs in sorted order
+    tri_hi = tri_pos.max(axis=1)[order]
+
+    # Preorder emission with median splits over the Morton-sorted range,
+    # via an explicit stack (push right before left => preorder).
+    def range_aabb(a, b):
+        return tri_lo[a:b].min(axis=0), tri_hi[a:b].max(axis=0)
+
+    nodes_min, nodes_max, nodes_meta = [], [], []
+    order_stack = [(0, T)]
+    while order_stack:
+        a, b = order_stack.pop()
+        idx = len(nodes_meta)
+        bmin, bmax = range_aabb(a, b)
+        nodes_min.append(bmin)
+        nodes_max.append(bmax)
+        if b - a <= leaf_size:
+            nodes_meta.append([a, b - a, 0])
+        else:
+            nodes_meta.append([a, 0, b])  # temporarily store range for linking
+            mid = (a + b) // 2
+            order_stack.append((mid, b))
+            order_stack.append((a, mid))
+
+    N = len(nodes_meta)
+    meta = np.asarray(nodes_meta, np.int64)
+
+    # Skip links: skip[i] = smallest preorder j > i whose triangle range
+    # starts at/after i's subtree end (i.e. the next node outside i's
+    # subtree), else N. Each node covers a contiguous triangle range
+    # [start, end) in Morton order, so a monotonic stack computes this in
+    # O(N).
+    starts = np.empty(N, np.int64)
+    ends = np.empty(N, np.int64)
+    for i in range(N):
+        a = meta[i, 0]
+        b = a + meta[i, 1] if meta[i, 1] > 0 else meta[i, 2]
+        starts[i], ends[i] = a, b
+    skip = np.full(N, N, np.int64)
+    stack2 = []  # indices awaiting their skip target
+    for i in range(N):
+        while stack2 and starts[i] >= ends[stack2[-1]]:
+            skip[stack2.pop()] = i
+        stack2.append(i)
+
+    # internal nodes: clear the temp range marker
+    is_leaf = meta[:, 1] > 0
+    meta[~is_leaf, 0] = 0
+    meta[~is_leaf, 2] = 0
+    meta[:, 2] = skip
+
+    return (
+        np.asarray(nodes_min, np.float32),
+        np.asarray(nodes_max, np.float32),
+        meta.astype(np.int32),
+        order,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Traversal (device, JAX)
+# ---------------------------------------------------------------------------
+
+
+def _slab_test(bmin, bmax, origin, inv_dir, t_min, t_max):
+    """Branch-free AABB slab test. All (R,3)/(R,). Returns bool (R,)."""
+    t0 = (bmin - origin) * inv_dir
+    t1 = (bmax - origin) * inv_dir
+    tsmall = jnp.minimum(t0, t1)
+    tbig = jnp.maximum(t0, t1)
+    tnear = jnp.maximum(jnp.max(tsmall, axis=-1), t_min)
+    tfar = jnp.minimum(jnp.min(tbig, axis=-1), t_max)
+    return tnear <= tfar
+
+
+def _leaf_tris(tri_pos, first, leaf_size):
+    """Gather up to leaf_size triangles starting at `first` (R,). Returns
+    v0,v1,v2 each (R, leaf_size, 3)."""
+    offs = jnp.arange(leaf_size, dtype=jnp.int32)
+    idx = jnp.clip(first[:, None] + offs[None, :], 0, tri_pos.shape[0] - 1)
+    tris = tri_pos[idx]  # (R, L, 3, 3)
+    return tris[:, :, 0], tris[:, :, 1], tris[:, :, 2], idx
+
+
+def _moller_leaf(origin, direction, v0, v1, v2, t_min):
+    """Möller-Trumbore over (R, L) leaf triangles."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    d = direction[:, None, :]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(pvec * e1, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tvec = origin[:, None, :] - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    ok = (jnp.abs(det) > 1e-9) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min)
+    return t, u, v, ok
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "any_hit"))
+def traverse(
+    nodes_min,
+    nodes_max,
+    nodes_meta,
+    tri_pos,
+    origin,
+    direction,
+    t_max,
+    t_min=1e-3,
+    leaf_size: int = LEAF_SIZE,
+    any_hit: bool = False,
+):
+    """Vectorized stackless traversal.
+
+    origin/direction: (R,3); t_max: (R,). Returns Hit (tri ids are indices
+    into the *leaf-ordered* triangle arrays, i.e. post-permutation).
+    With any_hit=True, rays terminate on first accepted hit (visibility
+    queries — reference query_visibility, ray_query.glsl:6-29).
+    """
+    R = origin.shape[0]
+    N = nodes_min.shape[0]
+    inv_dir = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                              jnp.where(direction < 0, -1e-12, 1e-12), direction)
+
+    def cond(state):
+        node, best_t, best_id, best_u, best_v = state
+        return jnp.any(node < N)
+
+    def body(state):
+        node, best_t, best_id, best_u, best_v = state
+        active = node < N
+        nid = jnp.clip(node, 0, N - 1)
+        bmin = nodes_min[nid]
+        bmax = nodes_max[nid]
+        meta = nodes_meta[nid]  # (R,3)
+        first, count, skip = meta[:, 0], meta[:, 1], meta[:, 2]
+        is_leaf = count > 0
+
+        hit_box = _slab_test(bmin, bmax, origin, inv_dir, t_min, best_t) & active
+
+        # leaf triangle tests (executed for every ray; masked)
+        v0, v1, v2, tidx = _leaf_tris(tri_pos, first, leaf_size)
+        t, u, v, ok = _moller_leaf(origin, direction, v0, v1, v2, t_min)
+        lane = jnp.arange(leaf_size, dtype=jnp.int32)[None, :]
+        in_leaf = lane < count[:, None]
+        ok = ok & in_leaf & (hit_box & is_leaf)[:, None] & (t < best_t[:, None])
+        t_masked = jnp.where(ok, t, jnp.inf)
+        k = jnp.argmin(t_masked, axis=1)
+        rows = jnp.arange(R)
+        tk = t_masked[rows, k]
+        improved = jnp.isfinite(tk)
+        best_t = jnp.where(improved, tk, best_t)
+        best_id = jnp.where(improved, tidx[rows, k], best_id)
+        best_u = jnp.where(improved, u[rows, k], best_u)
+        best_v = jnp.where(improved, v[rows, k], best_v)
+
+        descend = hit_box & (~is_leaf)
+        nxt = jnp.where(descend, nid + 1, skip)
+        nxt = jnp.where(active, nxt, node)
+        if any_hit:
+            nxt = jnp.where(best_id >= 0, N, nxt)  # found any hit -> done
+        return (nxt, best_t, best_id, best_u, best_v)
+
+    init = (
+        jnp.zeros((R,), jnp.int32),
+        jnp.asarray(t_max, origin.dtype),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,), origin.dtype),
+        jnp.zeros((R,), origin.dtype),
+    )
+    node, best_t, best_id, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    return Hit(t=best_t, tri_id=best_id, u=best_u, v=best_v)
+
+
+def make_tracers(scene: SceneArrays, use_bvh: bool = True):
+    """Returns (closest_hit_fn, visibility_fn) bound to a scene.
+
+    closest_hit_fn(origin, dir, t_max) -> Hit
+    visibility_fn(origin, dir, t_max) -> (R,) float 1.0 visible / 0.0 blocked
+    — the TPU equivalents of query_distance / query_visibility
+    (src/shaders/ray_query.glsl).
+    Shapes: origin/dir may be (..., 3); flattened internally.
+    """
+    from hybrid_rendering_tpu.ops import intersect as brute
+
+    have_bvh = use_bvh and scene.bvh_nodes_min is not None
+
+    def _flat(fn):
+        def wrapped(origin, direction, t_max):
+            shape = origin.shape[:-1]
+            o = origin.reshape(-1, 3)
+            d = direction.reshape(-1, 3)
+            tm = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), shape).reshape(-1)
+            out = fn(o, d, tm)
+            if isinstance(out, Hit):
+                return Hit(
+                    t=out.t.reshape(shape),
+                    tri_id=out.tri_id.reshape(shape),
+                    u=out.u.reshape(shape),
+                    v=out.v.reshape(shape),
+                )
+            return out.reshape(shape)
+
+        return wrapped
+
+    if have_bvh:
+        def closest(o, d, tm):
+            return traverse(
+                scene.bvh_nodes_min, scene.bvh_nodes_max, scene.bvh_nodes_meta,
+                scene.tri_pos, o, d, tm,
+            )
+
+        def vis(o, d, tm):
+            h = traverse(
+                scene.bvh_nodes_min, scene.bvh_nodes_max, scene.bvh_nodes_meta,
+                scene.tri_pos, o, d, tm, any_hit=True,
+            )
+            return jnp.where(h.tri_id >= 0, 0.0, 1.0).astype(o.dtype)
+
+    else:
+        def closest(o, d, tm):
+            return brute.closest_hit_brute(scene.tri_pos, o, d, tm)
+
+        def vis(o, d, tm):
+            return brute.occluded_brute(scene.tri_pos, o, d, tm)
+
+    return _flat(closest), _flat(vis)

@@ -1,0 +1,133 @@
+"""Scene builder: instanced meshes + materials -> flat device arrays.
+
+TPU-native replacement for dw::RayTracedScene (SURVEY §2.9): instead of a
+bindless descriptor set (1024 vertex/index SSBOs + TLAS), the whole scene is
+compiled once to a dense world-space triangle soup with per-triangle
+material / mesh-id arrays, plus an optional BVH. Static scenes (all
+reference scenes are static — src/g_buffer.vert:73-74) compile once at load.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from hybrid_rendering_tpu.scene.primitives import Mesh
+from hybrid_rendering_tpu.types import Material, SceneArrays
+
+
+@dataclasses.dataclass
+class MaterialDef:
+    albedo: Tuple[float, float, float] = (0.8, 0.8, 0.8)
+    roughness: float = 0.5
+    metallic: float = 0.0
+    emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+def translation(x, y, z) -> np.ndarray:
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = [x, y, z]
+    return m
+
+
+def scaling(sx, sy=None, sz=None) -> np.ndarray:
+    sy = sx if sy is None else sy
+    sz = sx if sz is None else sz
+    return np.diag([sx, sy, sz, 1.0]).astype(np.float32)
+
+
+def rotation_y(angle_rad) -> np.ndarray:
+    c, s = np.cos(angle_rad), np.sin(angle_rad)
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
+    return m
+
+
+def rotation_x(angle_rad) -> np.ndarray:
+    c, s = np.cos(angle_rad), np.sin(angle_rad)
+    m = np.eye(4, dtype=np.float32)
+    m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s, s, c
+    return m
+
+
+class SceneBuilder:
+    def __init__(self):
+        self._tri_pos: List[np.ndarray] = []
+        self._tri_nrm: List[np.ndarray] = []
+        self._tri_uv: List[np.ndarray] = []
+        self._tri_mat: List[np.ndarray] = []
+        self._tri_mesh: List[np.ndarray] = []
+        self._materials: List[MaterialDef] = []
+        self._next_mesh_id = 0
+
+    def add_material(self, mat: MaterialDef) -> int:
+        self._materials.append(mat)
+        return len(self._materials) - 1
+
+    def add_instance(self, mesh: Mesh, material: int,
+                     transform: Optional[np.ndarray] = None) -> int:
+        """Instance a mesh with a rigid/affine transform; returns its
+        mesh_id (the reprojection disocclusion identity,
+        reference g_buffer.cpp:141-176)."""
+        m = np.eye(4, dtype=np.float32) if transform is None else np.asarray(transform, np.float32)
+        pos_h = np.concatenate([mesh.positions, np.ones_like(mesh.positions[:, :1])], axis=1)
+        world_pos = (pos_h @ m.T)[:, :3]
+        normal_mat = np.linalg.inv(m[:3, :3]).T
+        world_nrm = mesh.normals @ normal_mat.T
+        world_nrm /= np.maximum(np.linalg.norm(world_nrm, axis=1, keepdims=True), 1e-8)
+
+        idx = mesh.indices
+        self._tri_pos.append(world_pos[idx])  # (F,3,3)
+        self._tri_nrm.append(world_nrm[idx])
+        self._tri_uv.append(mesh.uvs[idx])
+        f = idx.shape[0]
+        self._tri_mat.append(np.full((f,), material, np.int32))
+        self._tri_mesh.append(np.full((f,), self._next_mesh_id, np.int32))
+        mesh_id = self._next_mesh_id
+        self._next_mesh_id += 1
+        return mesh_id
+
+    def build(self, use_bvh: bool = True) -> SceneArrays:
+        tri_pos = np.concatenate(self._tri_pos, axis=0).astype(np.float32)
+        tri_nrm = np.concatenate(self._tri_nrm, axis=0).astype(np.float32)
+        tri_uv = np.concatenate(self._tri_uv, axis=0).astype(np.float32)
+        tri_mat = np.concatenate(self._tri_mat, axis=0)
+        tri_mesh = np.concatenate(self._tri_mesh, axis=0)
+
+        mats = Material(
+            albedo=jnp.asarray([m.albedo for m in self._materials], jnp.float32),
+            roughness=jnp.asarray([m.roughness for m in self._materials], jnp.float32),
+            metallic=jnp.asarray([m.metallic for m in self._materials], jnp.float32),
+            emissive=jnp.asarray([m.emissive for m in self._materials], jnp.float32),
+        )
+
+        bvh_kw = {}
+        if use_bvh:
+            from hybrid_rendering_tpu.ops import bvh as bvh_mod
+
+            nodes_min, nodes_max, nodes_meta, order = bvh_mod.build_bvh(tri_pos)
+            # permute triangles into BVH leaf order so leaves index
+            # contiguous ranges (better locality for traversal gathers)
+            tri_pos = tri_pos[order]
+            tri_nrm = tri_nrm[order]
+            tri_uv = tri_uv[order]
+            tri_mat = tri_mat[order]
+            tri_mesh = tri_mesh[order]
+            bvh_kw = dict(
+                bvh_nodes_min=jnp.asarray(nodes_min),
+                bvh_nodes_max=jnp.asarray(nodes_max),
+                bvh_nodes_meta=jnp.asarray(nodes_meta),
+                bvh_tri_order=jnp.asarray(order),
+            )
+
+        return SceneArrays(
+            tri_pos=jnp.asarray(tri_pos),
+            tri_normal=jnp.asarray(tri_nrm),
+            tri_uv=jnp.asarray(tri_uv),
+            tri_mat=jnp.asarray(tri_mat),
+            tri_mesh_id=jnp.asarray(tri_mesh),
+            materials=mats,
+            **bvh_kw,
+        )

@@ -1,0 +1,58 @@
+"""Hit-point surface fetch: interpolate triangle attributes + materials.
+
+TPU equivalent of the bindless hit fetch (reference
+src/shaders/scene_descriptor_set.glsl:95-228: fetch_vertex / interpolation /
+material fetch). Gathers from the flat scene arrays by triangle id.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hybrid_rendering_tpu.ops.math3d import normalize
+from hybrid_rendering_tpu.types import Hit, SceneArrays, Surface
+
+
+def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
+    """Interpolate surface attributes at hits. Invalid hits (tri_id < 0)
+    return safe dummy values (mask with hit.valid downstream).
+
+    origin/direction: (..., 3); hit fields (...,)."""
+    tid = jnp.clip(hit.tri_id, 0, scene.tri_pos.shape[0] - 1)
+    w = (1.0 - hit.u - hit.v)[..., None]
+    u = hit.u[..., None]
+    v = hit.v[..., None]
+
+    tp = scene.tri_pos[tid]  # (..., 3, 3)
+    tn = scene.tri_normal[tid]
+    tuv = scene.tri_uv[tid]
+
+    position = w * tp[..., 0, :] + u * tp[..., 1, :] + v * tp[..., 2, :]
+    normal = normalize(w * tn[..., 0, :] + u * tn[..., 1, :] + v * tn[..., 2, :])
+    uv = w[..., :1] * tuv[..., 0, :] + u[..., :1] * tuv[..., 1, :] + v[..., :1] * tuv[..., 2, :]
+
+    e1 = tp[..., 1, :] - tp[..., 0, :]
+    e2 = tp[..., 2, :] - tp[..., 0, :]
+    geo_n = normalize(jnp.cross(e1, e2))
+    # face-forward the geometric normal against the incoming ray
+    geo_n = jnp.where(
+        (jnp.sum(geo_n * direction, axis=-1) > 0.0)[..., None], -geo_n, geo_n
+    )
+    # keep the shading normal in the same hemisphere as the geometric one
+    normal = jnp.where(
+        (jnp.sum(normal * geo_n, axis=-1) < 0.0)[..., None], -normal, normal
+    )
+
+    mat_id = scene.tri_mat[tid]
+    mats = scene.materials
+    return Surface(
+        position=position,
+        normal=normal,
+        geo_normal=geo_n,
+        uv=uv,
+        albedo=mats.albedo[mat_id],
+        roughness=mats.roughness[mat_id],
+        metallic=mats.metallic[mat_id],
+        emissive=mats.emissive[mat_id],
+        mesh_id=scene.tri_mesh_id[tid],
+        mat_id=mat_id,
+    )

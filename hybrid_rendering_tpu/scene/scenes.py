@@ -1,0 +1,206 @@
+"""The five bundled test scenes — procedural equivalents.
+
+The reference loads five binary scenes that are NOT in its repo
+(src/common.cpp:340-534: Shadows Test, Reflections Test, GI Test,
+Pica Pica, Sponza; meshes come from a separate release archive). These are
+regenerated procedurally with the same *purpose* (SURVEY §4: each isolates
+one effect): the pillar grid is instanced exactly like common.cpp:385-411
+(2 x 6 pillars), hero meshes are procedural stand-ins.
+
+Every factory returns (SceneArrays, default Light, default camera kwargs).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from hybrid_rendering_tpu.scene import primitives as prim
+from hybrid_rendering_tpu.scene.build import (
+    MaterialDef,
+    SceneBuilder,
+    rotation_y,
+    scaling,
+    translation,
+)
+from hybrid_rendering_tpu.types import Light
+
+SCENE_NAMES = (
+    "shadows_test",
+    "reflections_test",
+    "gi_test",
+    "pica_pica",
+    "sponza",
+)
+
+
+def _compose(*ms):
+    out = np.eye(4, dtype=np.float32)
+    for m in ms:
+        out = out @ m
+    return out
+
+
+def shadows_test(use_bvh: bool = True):
+    """Pillars + hero object + ground (reference common.cpp:383-432):
+    ground plane, 2 x 6 pillar grid at x = +-7, z = -12..13 step 5, hero at
+    origin. Isolates ray-traced soft shadows."""
+    b = SceneBuilder()
+    ground_mat = b.add_material(MaterialDef(albedo=(0.75, 0.75, 0.75), roughness=0.9))
+    pillar_mat = b.add_material(MaterialDef(albedo=(0.85, 0.82, 0.78), roughness=0.7))
+    hero_mat = b.add_material(MaterialDef(albedo=(0.6, 0.55, 0.5), roughness=0.4))
+
+    b.add_instance(prim.plane(60.0, 60.0), ground_mat)
+    # 2 x 6 pillar grid, mirroring common.cpp:385-411
+    for x in (-7.0, 7.0):
+        for i in range(6):
+            z = -12.0 + i * 5.0
+            b.add_instance(
+                prim.cylinder(radius=0.8, height=8.0, slices=20),
+                pillar_mat,
+                translation(x, 4.0, z),
+            )
+    b.add_instance(
+        prim.torus_knot_stand_in(radius=1.2, tube=0.5),
+        hero_mat,
+        _compose(translation(0.0, 1.8, 0.0), scaling(1.5)),
+    )
+    scene = b.build(use_bvh=use_bvh)
+    light = Light.directional(
+        direction=(0.35, 0.9, 0.25), color=(1.0, 0.96, 0.9), intensity=3.0, radius=0.05
+    )
+    cam = dict(eye=(14.0, 6.0, 16.0), target=(0.0, 2.0, 0.0))
+    return scene, light, cam
+
+
+def reflections_test(use_bvh: bool = True):
+    """Glossy floor + mixed-roughness objects. Isolates reflections."""
+    b = SceneBuilder()
+    floor_mat = b.add_material(MaterialDef(albedo=(0.9, 0.9, 0.9), roughness=0.08, metallic=0.9))
+    wall_mat = b.add_material(MaterialDef(albedo=(0.7, 0.7, 0.72), roughness=0.8))
+    red = b.add_material(MaterialDef(albedo=(0.8, 0.15, 0.12), roughness=0.35))
+    gold = b.add_material(MaterialDef(albedo=(1.0, 0.77, 0.34), roughness=0.25, metallic=1.0))
+    rough = b.add_material(MaterialDef(albedo=(0.2, 0.5, 0.8), roughness=0.85))
+
+    b.add_instance(prim.plane(40.0, 40.0), floor_mat)
+    b.add_instance(prim.box(24.0, 8.0, 0.5), wall_mat, translation(0, 4.0, -10.0))
+    b.add_instance(prim.uv_sphere(1.5, 24, 48), red, translation(-4.0, 1.5, 0.0))
+    b.add_instance(prim.uv_sphere(1.5, 24, 48), gold, translation(0.0, 1.5, -2.0))
+    b.add_instance(prim.box(2.5, 2.5, 2.5), rough, _compose(translation(4.0, 1.25, 0.5), rotation_y(0.5)))
+    scene = b.build(use_bvh=use_bvh)
+    light = Light.directional(
+        direction=(-0.3, 0.85, 0.42), color=(1.0, 0.98, 0.95), intensity=3.0, radius=0.03
+    )
+    cam = dict(eye=(0.0, 4.5, 12.0), target=(0.0, 1.0, -2.0))
+    return scene, light, cam
+
+
+def gi_test(use_bvh: bool = True):
+    """Cornell-style colored box: white floor/ceiling/back, red/green side
+    walls, two blockers. Isolates DDGI color bleeding (the reference GI
+    test scene serves the same purpose, src/main.cpp:1107-1119)."""
+    b = SceneBuilder()
+    white = b.add_material(MaterialDef(albedo=(0.73, 0.73, 0.73), roughness=0.9))
+    red = b.add_material(MaterialDef(albedo=(0.65, 0.05, 0.05), roughness=0.9))
+    green = b.add_material(MaterialDef(albedo=(0.12, 0.45, 0.15), roughness=0.9))
+    box_mat = b.add_material(MaterialDef(albedo=(0.73, 0.73, 0.73), roughness=0.75))
+
+    s = 10.0
+    b.add_instance(prim.plane(s, s), white)  # floor
+    b.add_instance(prim.plane(s, s), white, _compose(translation(0, s, 0), _flip_y()))  # ceiling
+    b.add_instance(prim.box(s, s, 0.3), white, translation(0, s / 2, -s / 2))  # back
+    b.add_instance(prim.box(0.3, s, s), red, translation(-s / 2, s / 2, 0))  # left
+    b.add_instance(prim.box(0.3, s, s), green, translation(s / 2, s / 2, 0))  # right
+    b.add_instance(
+        prim.box(3.0, 6.0, 3.0), box_mat, _compose(translation(-2.0, 3.0, -1.5), rotation_y(0.3))
+    )
+    b.add_instance(
+        prim.box(3.0, 3.0, 3.0), box_mat, _compose(translation(2.2, 1.5, 1.5), rotation_y(-0.25))
+    )
+    scene = b.build(use_bvh=use_bvh)
+    light = Light.spot(
+        position=(0.0, 9.0, 0.0),
+        direction=(0.0, -1.0, 0.0),
+        color=(1.0, 1.0, 1.0),
+        intensity=250.0,
+        radius=0.3,
+        inner_angle_deg=35.0,
+        outer_angle_deg=55.0,
+    )
+    cam = dict(eye=(0.0, 5.0, 16.0), target=(0.0, 4.0, 0.0))
+    return scene, light, cam
+
+
+def pica_pica(use_bvh: bool = True):
+    """Geometric playground stand-in for the Pica Pica mini-city."""
+    b = SceneBuilder()
+    ground = b.add_material(MaterialDef(albedo=(0.8, 0.78, 0.75), roughness=0.85))
+    bldg = b.add_material(MaterialDef(albedo=(0.9, 0.6, 0.4), roughness=0.6))
+    bldg2 = b.add_material(MaterialDef(albedo=(0.4, 0.65, 0.85), roughness=0.5))
+    metal = b.add_material(MaterialDef(albedo=(0.95, 0.95, 0.95), roughness=0.2, metallic=1.0))
+
+    b.add_instance(prim.plane(50.0, 50.0), ground)
+    rng = np.random.RandomState(7)
+    for i in range(12):
+        x = rng.uniform(-12, 12)
+        z = rng.uniform(-12, 12)
+        h = rng.uniform(1.5, 6.0)
+        w = rng.uniform(1.0, 3.0)
+        mat = [bldg, bldg2, metal][i % 3]
+        b.add_instance(
+            prim.box(w, h, w), mat,
+            _compose(translation(x, h / 2, z), rotation_y(rng.uniform(0, np.pi))),
+        )
+    scene = b.build(use_bvh=use_bvh)
+    light = Light.directional(
+        direction=(0.4, 0.8, 0.3), color=(1.0, 0.95, 0.88), intensity=3.0, radius=0.04
+    )
+    cam = dict(eye=(16.0, 9.0, 16.0), target=(0.0, 1.0, 0.0))
+    return scene, light, cam
+
+
+def sponza(use_bvh: bool = True):
+    """Columned-atrium stand-in for Sponza (scaled courtyard with colonnade)."""
+    b = SceneBuilder()
+    stone = b.add_material(MaterialDef(albedo=(0.72, 0.68, 0.62), roughness=0.85))
+    floor = b.add_material(MaterialDef(albedo=(0.6, 0.58, 0.55), roughness=0.7))
+    drape = b.add_material(MaterialDef(albedo=(0.55, 0.12, 0.10), roughness=0.95))
+
+    b.add_instance(prim.plane(36.0, 18.0), floor)
+    # side colonnades
+    for z in (-6.0, 6.0):
+        for i in range(7):
+            x = -15.0 + i * 5.0
+            b.add_instance(prim.cylinder(0.5, 6.0, 16), stone, translation(x, 3.0, z))
+        b.add_instance(prim.box(36.0, 1.0, 2.0), stone, translation(0, 6.5, z))
+    # end walls
+    b.add_instance(prim.box(0.5, 8.0, 18.0), stone, translation(-18.0, 4.0, 0.0))
+    b.add_instance(prim.box(0.5, 8.0, 18.0), stone, translation(18.0, 4.0, 0.0))
+    # hanging drapes
+    for x in (-8.0, 0.0, 8.0):
+        b.add_instance(prim.box(3.0, 2.5, 0.1), drape, translation(x, 4.5, -5.0))
+    scene = b.build(use_bvh=use_bvh)
+    light = Light.directional(
+        direction=(0.15, 0.95, 0.1), color=(1.0, 0.97, 0.9), intensity=3.5, radius=0.06
+    )
+    cam = dict(eye=(-13.0, 3.0, 0.5), target=(10.0, 3.5, -0.5))
+    return scene, light, cam
+
+
+def _flip_y():
+    m = np.eye(4, dtype=np.float32)
+    m[1, 1] = -1.0
+    return m
+
+
+FACTORIES = {
+    "shadows_test": shadows_test,
+    "reflections_test": reflections_test,
+    "gi_test": gi_test,
+    "pica_pica": pica_pica,
+    "sponza": sponza,
+}
+
+
+def load_scene(name: str, use_bvh: bool = True):
+    if name not in FACTORIES:
+        raise KeyError(f"unknown scene {name!r}; have {sorted(FACTORIES)}")
+    return FACTORIES[name](use_bvh=use_bvh)
