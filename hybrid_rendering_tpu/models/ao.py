@@ -1,0 +1,123 @@
+"""Ray-traced ambient occlusion with temporal accumulation + bilateral blur.
+
+Behavioural twin of src/ray_traced_ao.{h,cpp} + src/shaders/ao/*
+(SURVEY §2.5): cosine-lobe hemisphere ray of finite length (default 7.0,
+bias 0.3), single-channel temporal reprojection WITHOUT moments (separate
+history-length plane), separable bilateral Gaussian blur (not a-trous), and
+pow(ao, power) applied at upsample. Default scale HALF
+(ray_traced_ao.h:23)."""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from hybrid_rendering_tpu.config import AOConfig
+from hybrid_rendering_tpu.ops import brdf as brdf_ops, filters, rng as rng_ops
+from hybrid_rendering_tpu.ops.reprojection import reproject
+from hybrid_rendering_tpu.types import GBuffer
+
+
+@struct.dataclass
+class AOState:
+    history: jax.Array  # (h,w)
+    history_length: jax.Array  # (h,w)
+
+    @staticmethod
+    def create(height: int, width: int):
+        return AOState(
+            history=jnp.zeros((height, width), jnp.float32),
+            history_length=jnp.zeros((height, width), jnp.float32),
+        )
+
+
+class AOOutputs(NamedTuple):
+    ray_trace: jax.Array
+    temporal: jax.Array
+    blur: jax.Array
+    final: jax.Array
+
+
+def ray_trace(
+    visibility_fn: Callable,
+    gb: GBuffer,
+    frame_index,
+    cfg: AOConfig,
+) -> jax.Array:
+    """1 cosine-lobe occlusion ray/pixel, finite length
+    (ao_ray_trace.comp:90-126)."""
+    h, w = gb.depth.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.uint32), jnp.arange(w, dtype=jnp.uint32),
+        indexing="ij",
+    )
+    rng = rng_ops.rng_init(xx.reshape(-1), yy.reshape(-1), frame_index)
+    rng, r2 = rng_ops.next_vec2(rng)
+    r2 = r2.reshape(h, w, 2)
+
+    wi = brdf_ops.sample_cosine_lobe(gb.normal, r2)
+    origin = gb.position + gb.normal * cfg.bias
+    vis = visibility_fn(origin, wi, jnp.full((h, w), cfg.ray_length))
+    return jnp.where(gb.mesh_id >= 0, vis, 1.0)
+
+
+def temporal_accumulation(
+    raw: jax.Array,
+    gb: GBuffer,
+    prev_gb: GBuffer,
+    state: AOState,
+    cfg: AOConfig,
+):
+    """Single-channel reprojection without moments
+    (ao_denoise_reprojection.comp:222-259)."""
+    geom = gb.mesh_id >= 0
+    rep = reproject(gb, prev_gb, state.history, history_length=state.history_length)
+    success = rep.valid & geom
+    history_length = jnp.minimum(
+        cfg.history_cap, jnp.where(success, rep.history_length + 1.0, 1.0)
+    )
+    alpha = jnp.where(success, jnp.maximum(cfg.alpha, 1.0 / history_length), 1.0)
+    hist = jnp.where(success, rep.history, 0.0)
+    ao = hist + (raw - hist) * alpha
+    ao = jnp.where(geom, ao, 1.0)
+    return ao, history_length
+
+
+def ao_pass(
+    visibility_fn: Callable,
+    gb_scaled: GBuffer,
+    prev_gb_scaled: GBuffer,
+    gb_full: GBuffer,
+    state: AOState,
+    frame_index,
+    cfg: AOConfig,
+):
+    """Full AO pipeline (ray_traced_ao.cpp:98-112). Returns
+    (outputs, new_state)."""
+    raw = ray_trace(visibility_fn, gb_scaled, frame_index, cfg)
+
+    if not cfg.denoise:
+        ao = raw
+        temporal_out = raw
+        hist_len = state.history_length
+    else:
+        ao, hist_len = temporal_accumulation(raw, gb_scaled, prev_gb_scaled, state, cfg)
+        temporal_out = ao
+        ao = filters.bilateral_blur_separable(
+            ao, gb_scaled.normal, gb_scaled.linear_z,
+            radius=cfg.blur_radius, mask=gb_scaled.mesh_id >= 0,
+        )
+
+    new_state = AOState(history=ao, history_length=hist_len)
+
+    final = ao
+    if cfg.scale != 0:
+        final = filters.upsample_edge_aware(
+            ao, gb_scaled.normal, gb_scaled.linear_z,
+            gb_full.normal, gb_full.linear_z, int(cfg.scale),
+        )
+    # pow() darkening applied at the final stage (ao_upsample.comp:108)
+    final = jnp.power(jnp.clip(final, 0.0, 1.0), cfg.power)
+    return AOOutputs(raw, temporal_out, ao, final), new_state

@@ -1,0 +1,132 @@
+"""G-buffer pass — ray-based deferred geometry buffer.
+
+Replaces the reference's raster G-buffer (src/g_buffer.{h,cpp} +
+g_buffer.{vert,frag}, SURVEY §2.3): primary rays against the scene BVH
+produce the same contents — albedo+metallic, octahedral-codec-able normals,
+motion vectors, roughness, curvature, mesh_id, linear z, NDC depth — as
+named planes instead of packed MRTs. Static scenes mean motion vectors
+come purely from camera reprojection of the hit position
+(g_buffer.vert:71-84 relies on the same invariant).
+
+Curvature is a screen-space stencil on the normal plane (the reference
+computes it from fragment-shader derivatives, g_buffer.frag:71-80).
+
+The mip chain for scaled ray passes (g_buffer.cpp:236-244: nearest-filter
+downsample so half/quarter-res passes fetch mip = scale) becomes
+``downsample_gbuffer``: strided nearest sampling of the full-res planes.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from hybrid_rendering_tpu.ops.math3d import INF_T
+from hybrid_rendering_tpu.scene.fetch import fetch_surface
+from hybrid_rendering_tpu.types import Camera, GBuffer, SceneArrays
+from hybrid_rendering_tpu.utils import camera as camera_utils
+
+
+def _ndc_from_world(view_proj, pos):
+    w = jnp.einsum(
+        "ij,...j->...i",
+        view_proj,
+        jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], -1),
+    )
+    return w[..., :3] / jnp.maximum(jnp.abs(w[..., 3:4]), 1e-8) * jnp.sign(w[..., 3:4])
+
+
+def screen_curvature(normal, mask):
+    """Magnitude of screen-space normal change (g_buffer.frag:71-80
+    computes length(dFdx(N)) + length(dFdy(N)); forward differences here)."""
+    dx = normal - jnp.roll(normal, -1, axis=1)
+    dy = normal - jnp.roll(normal, -1, axis=0)
+    curv = jnp.sqrt(jnp.sum(dx * dx, -1)) + jnp.sqrt(jnp.sum(dy * dy, -1))
+    return jnp.where(mask, curv, 0.0)
+
+
+def render_gbuffer(
+    scene: SceneArrays,
+    closest_fn: Callable,
+    camera: Camera,
+    width: int,
+    height: int,
+) -> GBuffer:
+    """Trace primary rays and fill every G-buffer plane."""
+    origins, dirs = camera_utils.camera_rays(camera, width, height)
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    hit = closest_fn(o, d, jnp.full((height * width,), INF_T))
+    surf = fetch_surface(scene, o, d, hit)
+    valid = hit.valid
+
+    pos = surf.position.reshape(height, width, 3)
+    normal = surf.normal.reshape(height, width, 3)
+    vmask = valid.reshape(height, width)
+
+    # depth / linear z
+    ndc = _ndc_from_world(camera.view_proj, pos)
+    depth = jnp.where(vmask, jnp.clip(ndc[..., 2], 0.0, 1.0), 1.0)
+    view_pos = jnp.einsum(
+        "ij,...j->...i",
+        camera.view,
+        jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], -1),
+    )
+    linear_z = jnp.where(vmask, -view_pos[..., 2], camera.far)
+
+    # motion vectors: prev_uv - curr_uv (reference g_buffer.frag:55-67,
+    # stored as prev - current; static geometry -> same world position)
+    ndc_prev = _ndc_from_world(camera.prev_view_proj, pos)
+
+    def uv_of(ndc_xy):
+        return jnp.stack(
+            [(ndc_xy[..., 0] + 1.0) * 0.5, (1.0 - ndc_xy[..., 1]) * 0.5], -1
+        )
+
+    motion = jnp.where(
+        vmask[..., None], uv_of(ndc_prev) - uv_of(ndc), jnp.zeros_like(ndc[..., :2])
+    )
+
+    curvature = screen_curvature(
+        jnp.where(vmask[..., None], normal, 0.0), vmask
+    )
+
+    return GBuffer(
+        albedo=jnp.where(
+            vmask[..., None], surf.albedo.reshape(height, width, 3), 0.0
+        ),
+        metallic=jnp.where(vmask, surf.metallic.reshape(height, width), 0.0),
+        normal=jnp.where(vmask[..., None], normal, 0.0),
+        motion=motion,
+        roughness=jnp.where(vmask, surf.roughness.reshape(height, width), 1.0),
+        curvature=curvature,
+        mesh_id=jnp.where(vmask, surf.mesh_id.reshape(height, width), -1),
+        linear_z=linear_z,
+        depth=depth,
+        position=jnp.where(vmask[..., None], pos, 0.0),
+    )
+
+
+def downsample_gbuffer(gb: GBuffer, scale: int) -> GBuffer:
+    """Nearest-filter downsample by 2**scale — the mip-chain equivalent
+    (g_buffer.cpp:236-244) for half/quarter-res ray passes."""
+    if scale == 0:
+        return gb
+    s = 1 << scale
+
+    def ds(x):
+        return x[..., ::s, ::s] if x.ndim == 2 else x[::s, ::s, ...]
+
+    return GBuffer(
+        albedo=gb.albedo[::s, ::s],
+        metallic=gb.metallic[::s, ::s],
+        normal=gb.normal[::s, ::s],
+        motion=gb.motion[::s, ::s],
+        roughness=gb.roughness[::s, ::s],
+        curvature=gb.curvature[::s, ::s],
+        mesh_id=gb.mesh_id[::s, ::s],
+        linear_z=gb.linear_z[::s, ::s],
+        depth=gb.depth[::s, ::s],
+        position=gb.position[::s, ::s],
+    )

@@ -1,0 +1,201 @@
+"""HybridRenderer — the full frame loop as one jittable pure function.
+
+Replaces HybridRendering::update (src/main.cpp:49-129): the single Vulkan
+command buffer becomes a single XLA program; pass ordering is dataflow;
+tracked barriers (use_resource/flush_barriers) are unnecessary; ping-pong
+image pairs become the RenderState pytree threaded through
+``render_frame(state, camera, light) -> (outputs, state)`` with donated
+buffers.
+
+Frame order (main.cpp:79-108):
+  g-buffer -> shadows -> ao -> [ddgi] -> [reflections] -> deferred ->
+  [ground truth] -> taa -> tonemap
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from hybrid_rendering_tpu.config import RendererConfig
+from hybrid_rendering_tpu.models import (
+    ao as ao_pass_mod,
+    deferred as deferred_mod,
+    gbuffer as gbuffer_mod,
+    shadows as shadows_mod,
+    taa as taa_mod,
+    tonemap as tonemap_mod,
+)
+from hybrid_rendering_tpu.ops import bvh as bvh_mod
+from hybrid_rendering_tpu.types import Camera, GBuffer, Light, SceneArrays
+from hybrid_rendering_tpu.utils import camera as camera_utils
+
+
+@struct.dataclass
+class RenderState:
+    """All temporal state — the reference's ping-ponged images
+    (SURVEY §2.10.5)."""
+
+    prev_gbuffer: GBuffer
+    shadows: shadows_mod.ShadowsState
+    ao: ao_pass_mod.AOState
+    taa: taa_mod.TAAState
+    frame_index: jax.Array  # () int32
+
+
+def _scaled_dims(width, height, scale):
+    s = 1 << int(scale)
+    return width // s, height // s
+
+
+class HybridRenderer:
+    """Owns the scene-bound tracer closures + config; all methods are
+    functional (state in, state out)."""
+
+    def __init__(
+        self,
+        scene: SceneArrays,
+        config: RendererConfig,
+        sky_radiance_fn: Callable,
+        env_irradiance_fn: Optional[Callable] = None,
+        env_prefiltered_fn: Optional[Callable] = None,
+        tracer_method: str = "auto",
+    ):
+        self.scene = scene
+        self.config = config
+        self.sky_radiance_fn = sky_radiance_fn
+        self.env_irradiance_fn = env_irradiance_fn
+        self.env_prefiltered_fn = env_prefiltered_fn
+        self.closest_fn, self.visibility_fn = bvh_mod.make_tracers(
+            scene, method=tracer_method
+        )
+
+    # ------------------------------------------------------------------
+    def create_state(self) -> RenderState:
+        cfg = self.config
+        W, H = cfg.width, cfg.height
+        sw, sh = _scaled_dims(W, H, cfg.shadows.scale)
+        aw, ah = _scaled_dims(W, H, cfg.ao.scale)
+        dummy_cam = camera_utils.make_camera(
+            eye=(0.0, 1.0, 5.0), target=(0.0, 0.0, 0.0), width=W, height=H
+        )
+        gb0 = jax.eval_shape(
+            lambda: gbuffer_mod.render_gbuffer(
+                self.scene, self.closest_fn, dummy_cam, W, H
+            )
+        )
+        zero_gb = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), gb0
+        )
+        # mesh_id must start at -1 (no geometry -> disocclusion everywhere)
+        zero_gb = zero_gb.replace(mesh_id=zero_gb.mesh_id - 1)
+        return RenderState(
+            prev_gbuffer=zero_gb,
+            shadows=shadows_mod.ShadowsState.create(sh, sw),
+            ao=ao_pass_mod.AOState.create(ah, aw),
+            taa=taa_mod.TAAState.create(H, W),
+            frame_index=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+    def render_frame(
+        self,
+        state: RenderState,
+        camera: Camera,
+        light: Light,
+    ):
+        """One frame. Returns (outputs dict, new state). Jit this (donate
+        the state arg)."""
+        cfg = self.config
+        W, H = cfg.width, cfg.height
+        outputs: Dict[str, jax.Array] = {}
+
+        # --- G-buffer (main.cpp:79) ---
+        gb = gbuffer_mod.render_gbuffer(self.scene, self.closest_fn, camera, W, H)
+        outputs["gbuffer_albedo"] = gb.albedo
+        outputs["gbuffer_normal"] = gb.normal
+        outputs["gbuffer_depth"] = gb.depth
+
+        # --- shadows (main.cpp:80) ---
+        shadow_vis = None
+        shadows_state = state.shadows
+        if cfg.shadows.enabled:
+            gb_s = gbuffer_mod.downsample_gbuffer(gb, int(cfg.shadows.scale))
+            prev_gb_s = gbuffer_mod.downsample_gbuffer(
+                state.prev_gbuffer, int(cfg.shadows.scale)
+            )
+            sh_out, shadows_state = shadows_mod.shadows_pass(
+                self.visibility_fn, gb_s, prev_gb_s, gb, light,
+                state.shadows, state.frame_index, cfg.shadows,
+            )
+            shadow_vis = sh_out.final
+            outputs["shadows_ray_trace"] = sh_out.ray_trace
+            outputs["shadows_temporal"] = sh_out.temporal
+            outputs["shadows_atrous"] = sh_out.atrous
+            outputs["shadows"] = sh_out.final
+
+        # --- AO (main.cpp:81) ---
+        ao_plane = None
+        ao_state = state.ao
+        if cfg.ao.enabled:
+            gb_a = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ao.scale))
+            prev_gb_a = gbuffer_mod.downsample_gbuffer(
+                state.prev_gbuffer, int(cfg.ao.scale)
+            )
+            ao_out, ao_state = ao_pass_mod.ao_pass(
+                self.visibility_fn, gb_a, prev_gb_a, gb,
+                state.ao, state.frame_index, cfg.ao,
+            )
+            ao_plane = ao_out.final
+            outputs["ao_ray_trace"] = ao_out.ray_trace
+            outputs["ao_temporal"] = ao_out.temporal
+            outputs["ao_blur"] = ao_out.blur
+            outputs["ao"] = ao_out.final
+
+        # --- deferred shading (main.cpp:84-88) ---
+        hdr = deferred_mod.deferred_shading(
+            gb, camera, light, self.sky_radiance_fn, W, H,
+            shadow_visibility=shadow_vis,
+            ao=ao_plane,
+            reflections=None,
+            gi_irradiance=None,
+            env_irradiance_fn=self.env_irradiance_fn,
+            env_prefiltered_fn=self.env_prefiltered_fn,
+            cfg=cfg.deferred,
+        )
+        outputs["deferred"] = hdr
+
+        # --- TAA (main.cpp:90-97) ---
+        taa_state = state.taa
+        color = hdr
+        if cfg.taa.enabled:
+            color, taa_state = taa_mod.taa_resolve(hdr, gb, state.taa, cfg.taa)
+        outputs["taa"] = color
+
+        # --- tone map (main.cpp:98-108) ---
+        outputs["ldr"] = tonemap_mod.tonemap(color, cfg.tonemap)
+
+        new_state = RenderState(
+            prev_gbuffer=gb,
+            shadows=shadows_state,
+            ao=ao_state,
+            taa=taa_state,
+            frame_index=state.frame_index + 1,
+        )
+        return outputs, new_state
+
+    # ------------------------------------------------------------------
+    def make_camera(self, eye, target, frame_index: int = 0,
+                    prev_view_proj=None, fov_y_deg: float = 60.0):
+        """Per-frame camera with TAA Halton jitter (main.cpp:941-944)."""
+        cfg = self.config
+        jitter = (0.0, 0.0)
+        if cfg.taa.enabled:
+            jitter = taa_mod.halton_jitter(frame_index, cfg.width, cfg.height)
+        return camera_utils.make_camera(
+            eye=eye, target=target, fov_y_deg=fov_y_deg,
+            width=cfg.width, height=cfg.height,
+            jitter=jitter, prev_view_proj=prev_view_proj,
+        )

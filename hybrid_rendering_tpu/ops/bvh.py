@@ -249,7 +249,15 @@ def traverse(
     return Hit(t=best_t, tri_id=best_id, u=best_u, v=best_v)
 
 
-def make_tracers(scene: SceneArrays, use_bvh: bool = True):
+def _is_tpu_backend() -> bool:
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat not in ("cpu", "gpu")
+
+
+def make_tracers(scene: SceneArrays, use_bvh: bool = True, method: str = "auto"):
     """Returns (closest_hit_fn, visibility_fn) bound to a scene.
 
     closest_hit_fn(origin, dir, t_max) -> Hit
@@ -257,28 +265,37 @@ def make_tracers(scene: SceneArrays, use_bvh: bool = True):
     — the TPU equivalents of query_distance / query_visibility
     (src/shaders/ray_query.glsl).
     Shapes: origin/dir may be (..., 3); flattened internally.
+
+    method:
+      "flash" — MXU-dense Pallas matmul tracer (ops/pallas/flashtrace.py);
+                the production TPU path.
+      "bvh"   — stackless skip-link BVH walk (gather-based; fast on CPU,
+                slow on TPU).
+      "brute" — XLA dense Möller-Trumbore (oracle).
+      "auto"  — flash on TPU-like backends, bvh/brute elsewhere.
     """
     from hybrid_rendering_tpu.ops import intersect as brute
 
-    have_bvh = use_bvh and scene.bvh_nodes_min is not None
+    if method == "auto":
+        method = "flash" if _is_tpu_backend() else (
+            "bvh" if (use_bvh and scene.bvh_nodes_min is not None) else "brute"
+        )
 
-    def _flat(fn):
-        def wrapped(origin, direction, t_max):
-            shape = origin.shape[:-1]
-            o = origin.reshape(-1, 3)
-            d = direction.reshape(-1, 3)
-            tm = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), shape).reshape(-1)
-            out = fn(o, d, tm)
-            if isinstance(out, Hit):
-                return Hit(
-                    t=out.t.reshape(shape),
-                    tri_id=out.tri_id.reshape(shape),
-                    u=out.u.reshape(shape),
-                    v=out.v.reshape(shape),
-                )
-            return out.reshape(shape)
+    if method == "flash":
+        from hybrid_rendering_tpu.ops.pallas import flashtrace
 
-        return wrapped
+        fs = flashtrace.make_flash_scene(scene.tri_pos)
+        interpret = not _is_tpu_backend()
+
+        def closest(o, d, tm):
+            return flashtrace.flash_closest_hit(fs, o, d, tm, interpret=interpret)
+
+        def vis(o, d, tm):
+            return flashtrace.flash_visibility(fs, o, d, tm, interpret=interpret)
+
+        return _make_flat(closest), _make_flat(vis)
+
+    have_bvh = (method == "bvh") and scene.bvh_nodes_min is not None
 
     if have_bvh:
         def closest(o, d, tm):
@@ -301,4 +318,25 @@ def make_tracers(scene: SceneArrays, use_bvh: bool = True):
         def vis(o, d, tm):
             return brute.occluded_brute(scene.tri_pos, o, d, tm)
 
-    return _flat(closest), _flat(vis)
+    return _make_flat(closest), _make_flat(vis)
+
+
+def _make_flat(fn):
+    """Adapt a flat-(R,3) tracer to arbitrary (..., 3) batches."""
+
+    def wrapped(origin, direction, t_max):
+        shape = origin.shape[:-1]
+        o = origin.reshape(-1, 3)
+        d = direction.reshape(-1, 3)
+        tm = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), shape).reshape(-1)
+        out = fn(o, d, tm)
+        if isinstance(out, Hit):
+            return Hit(
+                t=out.t.reshape(shape),
+                tri_id=out.tri_id.reshape(shape),
+                u=out.u.reshape(shape),
+                v=out.v.reshape(shape),
+            )
+        return out.reshape(shape)
+
+    return wrapped

@@ -1,0 +1,83 @@
+"""Spherical-harmonics environment irradiance + GGX prefilter stand-in.
+
+Replaces the dw extras CubemapSHProjection / CubemapPrefiler [sic]
+(SURVEY §2.9): the environment is an analytic function of direction here,
+so SH-9 projection is a Monte-Carlo integral done once at setup (host), and
+the "prefiltered cubemap mip chain" becomes roughness-blended evaluation —
+sharp env at roughness 0 lerping toward the SH irradiance at roughness 1.
+Consumed by deferred shading as the no-DDGI / no-reflections fallbacks
+(deferred.frag:115-141, 162-168)."""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _sh_basis(d):
+    """Real SH basis l<=2, 9 coefficients. d: (..., 3) unit."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [
+            0.282095 * one,
+            0.488603 * y,
+            0.488603 * z,
+            0.488603 * x,
+            1.092548 * x * y,
+            1.092548 * y * z,
+            0.315392 * (3.0 * z * z - 1.0),
+            1.092548 * x * z,
+            0.546274 * (x * x - y * y),
+        ],
+        axis=-1,
+    )  # (..., 9)
+
+
+def project_sky_sh9(sky_radiance_fn, num_samples: int = 4096, seed: int = 0):
+    """Monte-Carlo SH-9 projection of an analytic sky. Returns (9,3)."""
+    rs = np.random.RandomState(seed)
+    u = rs.uniform(size=(num_samples, 2))
+    z = 1.0 - 2.0 * u[:, 0]
+    phi = 2.0 * np.pi * u[:, 1]
+    s = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    dirs = np.stack([s * np.cos(phi), z, s * np.sin(phi)], axis=-1).astype(np.float32)
+    d = jnp.asarray(dirs)
+    radiance = sky_radiance_fn(d)  # (N,3)
+    basis = _sh_basis(d)  # (N,9)
+    # integral over sphere: 4*pi/N * sum
+    coeffs = (4.0 * np.pi / num_samples) * jnp.einsum("nc,nk->kc", radiance, basis)
+    return coeffs  # (9,3)
+
+
+# cosine-convolution factors for irradiance (Ramamoorthi & Hanrahan)
+_A = jnp.asarray(
+    [np.pi, 2.0943951, 2.0943951, 2.0943951, 0.785398, 0.785398, 0.785398,
+     0.785398, 0.785398],
+    jnp.float32,
+)
+
+
+def eval_irradiance_sh9(coeffs, n):
+    """Diffuse irradiance E(n)/pi for SH-9 coeffs (deferred.frag:115-141
+    consumes the same 9-coeff projection)."""
+    basis = _sh_basis(n)  # (...,9)
+    e = jnp.einsum("...k,kc,k->...c", basis, coeffs, _A)
+    return jnp.maximum(e / np.pi, 0.0)
+
+
+def make_env_fallbacks(sky_radiance_fn, num_samples: int = 4096):
+    """Returns (irradiance_fn(n), prefiltered_fn(dir, roughness))."""
+    coeffs = project_sky_sh9(sky_radiance_fn, num_samples)
+
+    def irradiance_fn(n):
+        return eval_irradiance_sh9(coeffs, n)
+
+    def prefiltered_fn(d, roughness):
+        sharp = sky_radiance_fn(d)
+        diffuse = eval_irradiance_sh9(coeffs, d)
+        w = jnp.clip(roughness, 0.0, 1.0)[..., None]
+        # roughness^2 falloff approximates the GGX mip chain
+        return sharp * (1.0 - w * w) + diffuse * (w * w)
+
+    return irradiance_fn, prefiltered_fn

@@ -1,0 +1,106 @@
+"""FlashTrace (MXU-dense Pallas tracer) vs the XLA brute-force oracle.
+Runs in Pallas interpret mode on the CPU backend."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hybrid_rendering_tpu.ops import intersect
+from hybrid_rendering_tpu.ops.pallas import flashtrace
+
+
+def _random_tris(n, seed=0, scale=3.0):
+    rs = np.random.RandomState(seed)
+    base = rs.uniform(-scale, scale, size=(n, 1, 3))
+    offs = rs.uniform(-0.4, 0.4, size=(n, 3, 3))
+    return (base + offs).astype(np.float32)
+
+
+def _random_rays(n, seed=1, scale=5.0, aim_at=None):
+    """Random rays; with aim_at (K,3) targets, half the rays point at a
+    jittered target so hit coverage is guaranteed."""
+    rs = np.random.RandomState(seed)
+    o = rs.uniform(-scale, scale, size=(n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    if aim_at is not None:
+        k = n // 2
+        targets = aim_at[rs.randint(0, aim_at.shape[0], size=k)]
+        targets = targets + rs.normal(scale=0.05, size=(k, 3))
+        d[:k] = targets - o[:k]
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d.astype(np.float32)
+
+
+@pytest.mark.parametrize("ntri", [37, 600])  # < and > TRI_TILE
+def test_closest_matches_brute(ntri):
+    tri = _random_tris(ntri, seed=2)
+    o, d = _random_rays(100, seed=3, aim_at=tri.mean(axis=1))
+    fs = flashtrace.make_flash_scene(jnp.asarray(tri))
+    hit = flashtrace.flash_closest_hit(
+        fs, jnp.asarray(o), jnp.asarray(d), jnp.full((100,), 1e5, jnp.float32),
+        interpret=True,
+    )
+    ref = intersect.closest_hit_brute(jnp.asarray(tri), jnp.asarray(o), jnp.asarray(d))
+    got_id = np.asarray(hit.tri_id)
+    ref_id = np.asarray(ref.tri_id)
+    np.testing.assert_array_equal(got_id >= 0, ref_id >= 0)
+    sel = ref_id >= 0
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[sel], np.asarray(ref.t)[sel], rtol=3e-4, atol=3e-4
+    )
+    # same triangle modulo exact ties
+    assert (got_id[sel] == ref_id[sel]).mean() > 0.95
+    # barycentrics agree where ids agree
+    agree = sel & (got_id == ref_id)
+    np.testing.assert_allclose(
+        np.asarray(hit.u)[agree], np.asarray(ref.u)[agree], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit.v)[agree], np.asarray(ref.v)[agree], atol=2e-3
+    )
+
+
+def test_visibility_matches_brute():
+    tri = _random_tris(200, seed=4)
+    o, d = _random_rays(128, seed=5, aim_at=tri.mean(axis=1))
+    t_max = np.full(128, 4.0, np.float32)
+    fs = flashtrace.make_flash_scene(jnp.asarray(tri))
+    vis = flashtrace.flash_visibility(
+        fs, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max), interpret=True
+    )
+    ref = intersect.occluded_brute(
+        jnp.asarray(tri), jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max)
+    )
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(ref))
+
+
+def test_tmax_respected():
+    tri = jnp.asarray(
+        [[[-5.0, -5.0, -3.0], [5.0, -5.0, -3.0], [0.0, 5.0, -3.0]]], jnp.float32
+    )
+    fs = flashtrace.make_flash_scene(tri)
+    o = jnp.zeros((2, 3), jnp.float32)
+    d = jnp.asarray([[0, 0, -1.0], [0, 0, -1.0]], jnp.float32)
+    hit = flashtrace.flash_closest_hit(
+        fs, o, d, jnp.asarray([10.0, 1.0], jnp.float32), interpret=True
+    )
+    assert int(hit.tri_id[0]) == 0 and abs(float(hit.t[0]) - 3.0) < 1e-4
+    assert int(hit.tri_id[1]) == -1  # t_max 1.0 < 3.0
+
+
+def test_make_tracers_flash_method():
+    from hybrid_rendering_tpu.ops import bvh as bvh_mod
+    from hybrid_rendering_tpu.scene.build import MaterialDef, SceneBuilder, translation
+    from hybrid_rendering_tpu.scene import primitives as prim
+
+    b = SceneBuilder()
+    m = b.add_material(MaterialDef())
+    b.add_instance(prim.plane(10, 10), m)
+    b.add_instance(prim.box(1, 1, 1), m, translation(0, 0.5, 0))
+    scene = b.build(use_bvh=False)
+    closest, vis = bvh_mod.make_tracers(scene, method="flash")
+    o = jnp.asarray([[0.0, 5.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    hit = closest(o, d, 1e5)
+    assert abs(float(hit.t[0]) - 4.0) < 1e-3
+    assert float(vis(o, d, jnp.asarray([10.0]))[0]) == 0.0
+    assert float(vis(o, d, jnp.asarray([2.0]))[0]) == 1.0
