@@ -1,0 +1,413 @@
+"""DDGI — irradiance probe-grid global illumination.
+
+Behavioural twin of src/ddgi.{h,cpp} + src/shaders/gi/* (SURVEY §2.7):
+probe grid sized from the scene AABB (+2 probes/axis), per-frame
+random-rotated spherical-Fibonacci rays, cosine-weighted irradiance atlas
+(8x8 octahedral texels/probe) and Chebyshev depth atlas (16x16, mean +
+mean^2) with 0.98 hysteresis, infinite bounces by sampling the previous
+frame's atlases inside the ray shade, and the 8-probe trilinear
+``sample_irradiance`` with wrap-shaded backface + Chebyshev visibility
+weights and sqrt-space blending (gi_common.glsl:188-320).
+
+TPU-first redesign:
+  - The per-frame random rotation is shared by every probe
+    (gi_ray_trace.rgen:90), so texel<->ray cosine weights are IDENTICAL
+    across probes: the whole probe-update pass (gi_probe_update.glsl's
+    shared-memory gather loop) collapses into ONE MXU matmul
+    (texels x rays) @ (rays x probes*channels).
+  - Atlases are stored borderless as (P, S, S, C); the reference's border
+    texels + gi_border_update.glsl exist only so hardware bilinear wraps —
+    here octahedral wrap is applied analytically in the 4-tap gather
+    (_wrap_oct_coords), which is exactly the mirrored addressing the
+    border copy bakes in.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from hybrid_rendering_tpu.config import DDGIConfig
+from hybrid_rendering_tpu.ops import brdf as brdf_ops, rng as rng_ops
+from hybrid_rendering_tpu.ops.lighting import direct_lighting
+from hybrid_rendering_tpu.ops.math3d import dot, normalize
+from hybrid_rendering_tpu.ops.octahedral import (
+    direction_to_octahedral, octahedral_to_direction,
+)
+from hybrid_rendering_tpu.scene.fetch import fetch_surface
+from hybrid_rendering_tpu.types import GBuffer, Light, SceneArrays
+
+
+class ProbeGrid(NamedTuple):
+    """Static grid geometry (DDGIUniforms, ddgi.cpp:14-32). Python ints /
+    numpy so shapes stay static under jit."""
+
+    counts: tuple  # (Px, Py, Pz)
+    start: np.ndarray  # (3,)
+    step: np.ndarray  # (3,)
+    max_distance: float
+
+    @property
+    def num_probes(self) -> int:
+        px, py, pz = self.counts
+        return px * py * pz
+
+
+def make_probe_grid(scene_min, scene_max, cfg: DDGIConfig) -> ProbeGrid:
+    """Grid = scene AABB / probe_distance + 2 per axis (ddgi.cpp:150-169)."""
+    lo = np.asarray(scene_min, np.float32)
+    hi = np.asarray(scene_max, np.float32)
+    extent = hi - lo
+    counts = tuple(
+        int(np.ceil(extent[i] / cfg.probe_distance)) + cfg.probe_grid_padding
+        for i in range(3)
+    )
+    return ProbeGrid(
+        counts=counts,
+        start=lo,
+        step=np.full(3, cfg.probe_distance, np.float32),
+        max_distance=cfg.max_distance_factor * cfg.probe_distance,
+    )
+
+
+def probe_positions(grid: ProbeGrid) -> jax.Array:
+    """(P,3) world positions, x-major layout
+    (gi_common.glsl grid_coord_to_probe_index)."""
+    px, py, pz = grid.counts
+    zz, yy, xx = np.meshgrid(
+        np.arange(pz), np.arange(py), np.arange(px), indexing="ij"
+    )
+    coords = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float32)
+    return jnp.asarray(grid.start + coords * grid.step)
+
+
+@struct.dataclass
+class DDGIState:
+    """Ping-ponged probe atlases (ddgi.h:82-85) — donated buffers here."""
+
+    irradiance: jax.Array  # (P, S, S, 3), S = irradiance_oct_size
+    depth: jax.Array  # (P, D, D, 2) mean / mean^2
+    first_frame: jax.Array  # () int32 — gates infinite bounce + hysteresis
+
+    @staticmethod
+    def create(num_probes: int, cfg: DDGIConfig):
+        s = cfg.irradiance_oct_size
+        d = cfg.depth_oct_size
+        return DDGIState(
+            irradiance=jnp.zeros((num_probes, s, s, 3), jnp.float32),
+            depth=jnp.zeros((num_probes, d, d, 2), jnp.float32),
+            first_frame=jnp.int32(1),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Octahedral atlas addressing
+# ---------------------------------------------------------------------------
+
+
+def _texel_directions(side: int) -> jax.Array:
+    """(side*side, 3) directions at texel centers (normalized_oct_coord,
+    gi_common.glsl:143-160)."""
+    idx = np.arange(side)
+    xx, yy = np.meshgrid(idx, idx, indexing="xy")
+    oct = np.stack(
+        [(xx + 0.5) / side * 2.0 - 1.0, (yy + 0.5) / side * 2.0 - 1.0], -1
+    ).reshape(-1, 2)
+    return octahedral_to_direction(jnp.asarray(oct, jnp.float32))
+
+
+def _wrap_oct_coords(x, y, side):
+    """Octahedral wrap for out-of-range texel indices — the analytic form
+    of the reference's mirrored border copy (gi_border_update.glsl)."""
+
+    def wrap_once(x, y):
+        xl = x < 0
+        x = jnp.where(xl, -x - 1, x)
+        y = jnp.where(xl, side - 1 - y, y)
+        xh = x > side - 1
+        x = jnp.where(xh, 2 * side - 1 - x, x)
+        y = jnp.where(xh, side - 1 - y, y)
+        yl = y < 0
+        y = jnp.where(yl, -y - 1, y)
+        x = jnp.where(yl, side - 1 - x, x)
+        yh = y > side - 1
+        y = jnp.where(yh, 2 * side - 1 - y, y)
+        x = jnp.where(yh, side - 1 - x, x)
+        return x, y
+
+    x, y = wrap_once(x, y)
+    x, y = wrap_once(x, y)  # corners need two passes
+    return jnp.clip(x, 0, side - 1), jnp.clip(y, 0, side - 1)
+
+
+def oct_bilinear_sample(atlas: jax.Array, probe_idx: jax.Array, dirs: jax.Array):
+    """Bilinear sample of a borderless oct atlas (P,S,S,C) at directions
+    dirs (...,3) for probes probe_idx (...,). Returns (...,C)."""
+    P, S, _, C = atlas.shape
+    oct = direction_to_octahedral(dirs)  # (...,2) in [-1,1]
+    tx = (oct[..., 0] * 0.5 + 0.5) * S - 0.5
+    ty = (oct[..., 1] * 0.5 + 0.5) * S - 0.5
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    fx = (tx - x0)[..., None]
+    fy = (ty - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    flat = atlas.reshape(P * S * S, C)
+
+    def tap(xi, yi):
+        xw, yw = _wrap_oct_coords(xi, yi, S)
+        return jnp.take(flat, probe_idx * (S * S) + yw * S + xw, axis=0)
+
+    v00 = tap(x0, y0)
+    v10 = tap(x0 + 1, y0)
+    v01 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v10 * fx * (1 - fy)
+        + v01 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_irradiance (gi_common.glsl:188-320)
+# ---------------------------------------------------------------------------
+
+
+def sample_irradiance(
+    grid: ProbeGrid,
+    state: DDGIState,
+    cfg: DDGIConfig,
+    p: jax.Array,  # (...,3) world position
+    n: jax.Array,  # (...,3) normal
+    wo: jax.Array,  # (...,3) toward viewer
+):
+    """8-probe trilinear cage with wrap-shaded backface + Chebyshev
+    visibility weights; sqrt-space blending; returns 0.5*pi*E*energy."""
+    counts = jnp.asarray(grid.counts, jnp.int32)
+    start = jnp.asarray(grid.start)
+    step = jnp.asarray(grid.step)
+    stride = jnp.asarray(
+        [1, grid.counts[0], grid.counts[0] * grid.counts[1]], jnp.int32
+    )
+
+    base = jnp.clip(
+        jnp.floor((p - start) / step).astype(jnp.int32), 0, counts - 1
+    )
+    base_pos = start + base.astype(jnp.float32) * step
+    alpha = jnp.clip((p - base_pos) / step, 0.0, 1.0)
+
+    bias = (n + 3.0 * wo) * cfg.normal_bias
+
+    sum_irr = 0.0
+    sum_w = 0.0
+    for i in range(8):
+        offset = jnp.asarray([i & 1, (i >> 1) & 1, (i >> 2) & 1], jnp.int32)
+        coord = jnp.clip(base + offset, 0, counts - 1)
+        pidx = jnp.sum(coord * stride, axis=-1)
+        probe_pos = start + coord.astype(jnp.float32) * step
+
+        probe_to_point = p - probe_pos + bias
+        dir_ = normalize(-probe_to_point)
+
+        trilinear = jnp.where(
+            offset.astype(bool), alpha, 1.0 - alpha
+        )
+        tri_w = trilinear[..., 0] * trilinear[..., 1] * trilinear[..., 2]
+
+        # wrap-shaded backface (gi_common.glsl:252)
+        true_dir = normalize(probe_pos - p)
+        w = jnp.square(
+            jnp.maximum(1e-4, (dot(true_dir, n) + 1.0) * 0.5)
+        ) + 0.2
+
+        if cfg.visibility_test:
+            dist = jnp.sqrt(
+                jnp.maximum(jnp.sum(probe_to_point * probe_to_point, -1), 1e-12)
+            )
+            temp = oct_bilinear_sample(state.depth, pidx, -dir_)
+            mean = temp[..., 0]
+            variance = jnp.abs(jnp.square(temp[..., 0]) - temp[..., 1])
+            cheb = variance / (
+                variance + jnp.square(jnp.maximum(dist - mean, 0.0)) + 1e-12
+            )
+            cheb = jnp.maximum(cheb * cheb * cheb, 0.0)
+            w = w * jnp.where(dist <= mean, 1.0, cheb)
+
+        w = jnp.maximum(1e-6, w)
+        # crush tiny weights (gi_common.glsl:288-291)
+        crush = 0.2
+        w = jnp.where(w < crush, w * w * w / (crush * crush), w)
+        w = w * tri_w
+
+        probe_irr = oct_bilinear_sample(state.irradiance, pidx, n)
+        probe_irr = jnp.sqrt(jnp.maximum(probe_irr, 0.0))  # LINEAR_BLENDING==0
+
+        sum_irr = sum_irr + w[..., None] * probe_irr
+        sum_w = sum_w + w
+
+    net = sum_irr / jnp.maximum(sum_w, 1e-9)[..., None]
+    net = jnp.square(net) * cfg.energy_preservation
+    return 0.5 * jnp.pi * net
+
+
+# ---------------------------------------------------------------------------
+# Per-frame update
+# ---------------------------------------------------------------------------
+
+
+def _spherical_fibonacci(n: int) -> np.ndarray:
+    """(n,3) spherical Fibonacci directions (gi_ray_trace.rgen:61-72)."""
+    i = np.arange(n, dtype=np.float64)
+    phi_g = np.sqrt(5.0) * 0.5 + 0.5
+    frac = (i * (phi_g - 1.0)) % 1.0
+    phi = 2.0 * np.pi * frac
+    cos_theta = 1.0 - (2.0 * i + 1.0) / n
+    sin_theta = np.sqrt(np.clip(1.0 - cos_theta**2, 0.0, 1.0))
+    return np.stack(
+        [np.cos(phi) * sin_theta, np.sin(phi) * sin_theta, cos_theta], -1
+    ).astype(np.float32)
+
+
+def _random_rotation(frame_index) -> jax.Array:
+    """Per-frame random rotation matrix (host mt19937 in the reference,
+    ddgi.cpp:788; here a hash-seeded on-device quaternion)."""
+    seed = jnp.asarray(frame_index, jnp.uint32)
+    u = rng_ops.uint_to_unit_float(rng_ops.wang_hash(seed * 3 + 1))
+    v = rng_ops.uint_to_unit_float(rng_ops.wang_hash(seed * 3 + 2))
+    w = rng_ops.uint_to_unit_float(rng_ops.wang_hash(seed * 3 + 3))
+    # Shoemake uniform random quaternion
+    q = jnp.stack(
+        [
+            jnp.sqrt(1 - u) * jnp.sin(2 * jnp.pi * v),
+            jnp.sqrt(1 - u) * jnp.cos(2 * jnp.pi * v),
+            jnp.sqrt(u) * jnp.sin(2 * jnp.pi * w),
+            jnp.sqrt(u) * jnp.cos(2 * jnp.pi * w),
+        ]
+    )
+    x, y, z, s = q[0], q[1], q[2], q[3]
+    return jnp.asarray(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - s * z), 2 * (x * z + s * y)],
+            [2 * (x * y + s * z), 1 - 2 * (x * x + z * z), 2 * (y * z - s * x)],
+            [2 * (x * z - s * y), 2 * (y * z + s * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def ddgi_update(
+    scene: SceneArrays,
+    closest_fn: Callable,
+    visibility_fn: Callable,
+    grid: ProbeGrid,
+    state: DDGIState,
+    light: Light,
+    sky_radiance_fn: Callable,
+    frame_index,
+    cfg: DDGIConfig,
+):
+    """One DDGI frame: ray trace + irradiance/depth probe update
+    (ddgi.cpp:89-104). Returns new DDGIState."""
+    P = grid.num_probes
+    R = cfg.rays_per_probe
+
+    fib = jnp.asarray(_spherical_fibonacci(R))
+    rot = _random_rotation(frame_index)
+    ray_dirs = normalize(fib @ rot.T)  # (R,3) shared by all probes
+
+    origins = probe_positions(grid)  # (P,3)
+    o = jnp.broadcast_to(origins[:, None, :], (P, R, 3)).reshape(-1, 3)
+    d = jnp.broadcast_to(ray_dirs[None, :, :], (P, R, 3)).reshape(-1, 3)
+
+    hit = closest_fn(o, d, jnp.full((P * R,), 1e4))
+    surf = fetch_surface(scene, o, d, hit)
+
+    # --- shade (gi_ray_trace.rchit:95-128) ---
+    f0 = brdf_ops.f0_from_metallic(surf.albedo, surf.metallic)
+    c_diff = surf.albedo * (1.0 - f0) * (1.0 - surf.metallic[:, None])
+    rng = rng_ops.rng_init(
+        jnp.arange(P * R, dtype=jnp.uint32) % jnp.uint32(R),
+        jnp.arange(P * R, dtype=jnp.uint32) // jnp.uint32(R),
+        frame_index,
+    )
+    rng, rs = rng_ops.next_vec2(rng)
+    rng, rsky = rng_ops.next_vec2(rng)
+    radiance = direct_lighting(
+        light, -d, surf.normal, surf.position, f0, c_diff, surf.roughness,
+        visibility_fn=visibility_fn,
+        rng_shadow=rs,
+        rng_sky=rsky,
+        sky_radiance_fn=sky_radiance_fn,
+    ) + surf.emissive
+
+    # infinite bounces from the previous frame's grid (rchit:123-124,
+    # gated on first frame, ddgi.cpp:790)
+    if cfg.infinite_bounces:
+        bounce = sample_irradiance(
+            grid, state, cfg, surf.position, surf.normal, -d
+        )
+        gate = (state.first_frame == 0).astype(jnp.float32)
+        radiance = radiance + (
+            c_diff * bounce * cfg.infinite_bounce_intensity * gate
+        )
+
+    env = sky_radiance_fn(d)
+    radiance = jnp.where(hit.valid[:, None], radiance, env)  # (P*R,3)
+    hit_dist = jnp.where(hit.valid, hit.t, -1.0)  # (P*R,)
+
+    # --- probe update as shared-weight matmuls (gi_probe_update.glsl) ---
+    energy_conservation = 0.95
+
+    def update_atlas(values, side, weights_pow, prev, hysteresis):
+        texel_dirs = _texel_directions(side)  # (T,3)
+        cosw = jnp.maximum(0.0, texel_dirs @ ray_dirs.T)  # (T,R)
+        w = cosw if weights_pow is None else jnp.power(cosw, weights_pow)
+        w = jnp.where(w >= 1e-8, w, 0.0)
+        total = jnp.sum(w, axis=1)  # (T,) same for all probes
+        C = values.shape[-1]
+        vals = values.reshape(P, R, C)
+        acc = jnp.einsum(
+            "tr,prc->ptc", w, vals, preferred_element_type=jnp.float32
+        )
+        result = acc / jnp.maximum(total, 1e-8)[None, :, None]
+        result = result.reshape(P, side, side, C)
+        blended = result * (1.0 - hysteresis) + prev * hysteresis
+        out = jnp.where(state.first_frame > 0, result, blended)
+        return out
+
+    irr = update_atlas(
+        radiance * energy_conservation, cfg.irradiance_oct_size, None,
+        state.irradiance, cfg.hysteresis,
+    )
+
+    depth_dist = jnp.where(
+        hit_dist < 0.0, grid.max_distance,
+        jnp.minimum(grid.max_distance, hit_dist - 0.01),
+    )
+    depth_vals = jnp.stack([depth_dist, depth_dist * depth_dist], -1)
+    dep = update_atlas(
+        depth_vals, cfg.depth_oct_size, cfg.depth_sharpness,
+        state.depth, cfg.hysteresis,
+    )
+
+    return DDGIState(irradiance=irr, depth=dep, first_frame=jnp.int32(0))
+
+
+def sample_probe_grid_screen(
+    grid: ProbeGrid,
+    state: DDGIState,
+    cfg: DDGIConfig,
+    gb: GBuffer,
+    camera_position: jax.Array,
+):
+    """Full-screen indirect-diffuse texture (gi_sample_probe_grid.comp:
+    75-99) consumed by deferred shading."""
+    wo = normalize(camera_position - gb.position)
+    irr = sample_irradiance(grid, state, cfg, gb.position, gb.normal, wo)
+    irr = irr * cfg.gi_intensity
+    return jnp.where((gb.mesh_id >= 0)[..., None], irr, 0.0)

@@ -22,8 +22,10 @@ from flax import struct
 from hybrid_rendering_tpu.config import RendererConfig
 from hybrid_rendering_tpu.models import (
     ao as ao_pass_mod,
+    ddgi as ddgi_mod,
     deferred as deferred_mod,
     gbuffer as gbuffer_mod,
+    reflections as reflections_mod,
     shadows as shadows_mod,
     taa as taa_mod,
     tonemap as tonemap_mod,
@@ -41,7 +43,10 @@ class RenderState:
     prev_gbuffer: GBuffer
     shadows: shadows_mod.ShadowsState
     ao: ao_pass_mod.AOState
+    reflections: reflections_mod.ReflectionsState
+    ddgi: ddgi_mod.DDGIState
     taa: taa_mod.TAAState
+    prev_cam_pos: jax.Array  # (3,) for camera_delta (main.cpp:1023-1080)
     frame_index: jax.Array  # () int32
 
 
@@ -71,6 +76,14 @@ class HybridRenderer:
         self.closest_fn, self.visibility_fn = bvh_mod.make_tracers(
             scene, method=tracer_method
         )
+        # probe grid geometry is static per scene (recreated on scene /
+        # probe-distance change, like ddgi.cpp:93-95,115-118 -> re-jit)
+        lo, hi = scene.aabb()
+        import numpy as _np
+
+        self.probe_grid = ddgi_mod.make_probe_grid(
+            _np.asarray(lo), _np.asarray(hi), config.ddgi
+        )
 
     # ------------------------------------------------------------------
     def create_state(self) -> RenderState:
@@ -91,11 +104,15 @@ class HybridRenderer:
         )
         # mesh_id must start at -1 (no geometry -> disocclusion everywhere)
         zero_gb = zero_gb.replace(mesh_id=zero_gb.mesh_id - 1)
+        rw, rh = _scaled_dims(W, H, cfg.reflections.scale)
         return RenderState(
             prev_gbuffer=zero_gb,
             shadows=shadows_mod.ShadowsState.create(sh, sw),
             ao=ao_pass_mod.AOState.create(ah, aw),
+            reflections=reflections_mod.ReflectionsState.create(rh, rw),
+            ddgi=ddgi_mod.DDGIState.create(self.probe_grid.num_probes, cfg.ddgi),
             taa=taa_mod.TAAState.create(H, W),
+            prev_cam_pos=jnp.zeros(3, jnp.float32),
             frame_index=jnp.int32(0),
         )
 
@@ -154,13 +171,69 @@ class HybridRenderer:
             outputs["ao_blur"] = ao_out.blur
             outputs["ao"] = ao_out.final
 
+        # --- DDGI (main.cpp:82): ray trace reads the PREVIOUS frame's
+        # atlases (ddgi.cpp:775-778), deferred/reflections read the updated
+        # ones ---
+        ddgi_state = state.ddgi
+        gi_screen = None
+        gi_sample_fn = None
+        if cfg.ddgi.enabled:
+            ddgi_state = ddgi_mod.ddgi_update(
+                self.scene, self.closest_fn, self.visibility_fn,
+                self.probe_grid, state.ddgi, light, self.sky_radiance_fn,
+                state.frame_index, cfg.ddgi,
+            )
+
+            def gi_sample_fn(p, n, wo, _st=ddgi_state):
+                return ddgi_mod.sample_irradiance(
+                    self.probe_grid, _st, cfg.ddgi, p, n, wo
+                )
+
+            gb_g = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ddgi.scale))
+            gi_low = ddgi_mod.sample_probe_grid_screen(
+                self.probe_grid, ddgi_state, cfg.ddgi, gb_g, camera.position
+            )
+            if cfg.ddgi.scale != 0:
+                from hybrid_rendering_tpu.ops import filters as _filters
+
+                gi_screen = _filters.upsample_edge_aware(
+                    gi_low, gb_g.normal, gb_g.linear_z,
+                    gb.normal, gb.linear_z, int(cfg.ddgi.scale),
+                )
+            else:
+                gi_screen = gi_low
+            outputs["ddgi"] = gi_screen
+
+        # --- reflections (main.cpp:83) ---
+        refl_plane = None
+        refl_state = state.reflections
+        if cfg.reflections.enabled:
+            camera_delta = jnp.linalg.norm(camera.position - state.prev_cam_pos)
+            gb_r = gbuffer_mod.downsample_gbuffer(gb, int(cfg.reflections.scale))
+            prev_gb_r = gbuffer_mod.downsample_gbuffer(
+                state.prev_gbuffer, int(cfg.reflections.scale)
+            )
+            refl_out, refl_state = reflections_mod.reflections_pass(
+                self.scene, self.closest_fn, self.visibility_fn,
+                gb_r, prev_gb_r, gb, camera, camera_delta, light,
+                self.sky_radiance_fn, state.reflections, state.frame_index,
+                cfg.reflections,
+                gi_sample_fn=gi_sample_fn,
+                env_prefiltered_fn=self.env_prefiltered_fn,
+            )
+            refl_plane = refl_out.final
+            outputs["reflections_ray_trace"] = refl_out.ray_trace
+            outputs["reflections_temporal"] = refl_out.temporal
+            outputs["reflections_atrous"] = refl_out.atrous
+            outputs["reflections"] = refl_out.final
+
         # --- deferred shading (main.cpp:84-88) ---
         hdr = deferred_mod.deferred_shading(
             gb, camera, light, self.sky_radiance_fn, W, H,
             shadow_visibility=shadow_vis,
             ao=ao_plane,
-            reflections=None,
-            gi_irradiance=None,
+            reflections=refl_plane,
+            gi_irradiance=gi_screen,
             env_irradiance_fn=self.env_irradiance_fn,
             env_prefiltered_fn=self.env_prefiltered_fn,
             cfg=cfg.deferred,
@@ -181,7 +254,10 @@ class HybridRenderer:
             prev_gbuffer=gb,
             shadows=shadows_state,
             ao=ao_state,
+            reflections=refl_state,
+            ddgi=ddgi_state,
             taa=taa_state,
+            prev_cam_pos=camera.position,
             frame_index=state.frame_index + 1,
         )
         return outputs, new_state

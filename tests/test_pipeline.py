@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 from hybrid_rendering_tpu.config import (
-    AOConfig, RendererConfig, ShadowsConfig, TAAConfig, RayTraceScale,
+    AOConfig, DDGIConfig, ReflectionsConfig, RendererConfig, ShadowsConfig,
+    TAAConfig, RayTraceScale,
 )
 from hybrid_rendering_tpu.models.renderer import HybridRenderer
 from hybrid_rendering_tpu.ops.sh import make_env_fallbacks
@@ -23,6 +24,8 @@ def setup():
         width=64, height=64,
         shadows=ShadowsConfig(scale=RayTraceScale.FULL, atrous_iterations=2),
         ao=AOConfig(scale=RayTraceScale.HALF, blur_radius=2),
+        reflections=ReflectionsConfig(enabled=False),
+        ddgi=DDGIConfig(enabled=False),
         taa=TAAConfig(enabled=True),
     )
     r = HybridRenderer(scene, cfg, sky.radiance, irr_fn, pref_fn)
