@@ -1,72 +1,81 @@
 """Benchmark driver — prints ONE JSON line.
 
-Round-1 metric: GT path-tracer throughput (Mrays/s) on the Pillars scene on
-the real chip. As the hybrid pipeline lands, this becomes ms/frame at 1080p
-for the full pipeline (BASELINE.md north star: < 33 ms/frame; vs_baseline
-is measured against that 33 ms target once the full pipeline is benched).
+North-star metric (BASELINE.md): full hybrid pipeline (shadows + AO +
+reflections + DDGI + TAA + tonemap) at 1920x1080 on one TPU chip, target
+< 33 ms/frame. vs_baseline = 33 / measured_ms (>1 means faster than
+target).
 """
 from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from hybrid_rendering_tpu.config import PathTracerConfig
-    from hybrid_rendering_tpu.models import path_tracer
-    from hybrid_rendering_tpu.ops import bvh as bvh_mod
+    from hybrid_rendering_tpu.config import (
+        AOConfig, DDGIConfig, ReflectionsConfig, RendererConfig,
+        ShadowsConfig, TAAConfig, RayTraceScale,
+    )
+    from hybrid_rendering_tpu.models.renderer import HybridRenderer
+    from hybrid_rendering_tpu.ops.sh import make_env_fallbacks
     from hybrid_rendering_tpu.ops.sky import ProceduralSky
     from hybrid_rendering_tpu.scene.scenes import load_scene
-    from hybrid_rendering_tpu.utils import camera as cam_utils
 
-    W = H = 256
-    BOUNCES = 2
+    W, H = 1920, 1080
     scene, light, camkw = load_scene("shadows_test")
-    closest, vis = bvh_mod.make_tracers(scene)
-    cam = cam_utils.make_camera(width=W, height=H, **camkw)
     sky = ProceduralSky.create(sun_direction=np.asarray(light.direction))
-    cfg = PathTracerConfig(max_ray_bounces=BOUNCES)
+    irr_fn, pref_fn = make_env_fallbacks(sky.radiance)
 
-    from functools import partial
+    # reference default operating point: shadows FULL, AO/reflections HALF
+    # (ray_traced_shadows.h:23, ray_traced_ao.h:23, ray_traced_reflections.h:24)
+    cfg = RendererConfig(
+        width=W, height=H,
+        shadows=ShadowsConfig(scale=RayTraceScale.FULL),
+        ao=AOConfig(scale=RayTraceScale.HALF),
+        reflections=ReflectionsConfig(scale=RayTraceScale.HALF),
+        ddgi=DDGIConfig(
+            probe_distance=4.0, rays_per_probe=256, scale=RayTraceScale.HALF
+        ),
+        taa=TAAConfig(enabled=True),
+    )
+    r = HybridRenderer(scene, cfg, sky.radiance, irr_fn, pref_fn)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(st):
-        s = path_tracer.trace_sample(
-            scene, closest, vis, cam, light, sky.radiance, W, H, st.num_frames, cfg
-        )
-        return path_tracer.accumulate(st, s)
+    step = jax.jit(r.render_frame, donate_argnums=(0,))
+    state = r.create_state()
+    cam = r.make_camera(camkw["eye"], camkw["target"], 0)
 
-    state = path_tracer.GroundTruthState.create(H, W)
-    state = step(state)  # compile + warmup
-    state.color.block_until_ready()
-
-    iters = 8
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state = step(state)
-    state.color.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    outputs, state = step(state, cam, light)
+    outputs["ldr"].block_until_ready()
+    compile_s = time.perf_counter() - t0
 
-    # rays per frame: primary + per-bounce (shadow + sky shadow + bounce)
-    # conservative count: primary rays * (bounces closest + 2 shadow per bounce)
-    rays_per_px = BOUNCES * 3  # closest + shadow + sky-shadow per bounce
-    mrays = W * H * rays_per_px / dt / 1e6
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        outputs, state = step(state, cam, light)
+    outputs["ldr"].block_until_ready()
+    ms = (time.perf_counter() - t0) / iters * 1e3
 
     print(json.dumps({
-        "metric": "gt_path_tracer_throughput",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays, 3),
+        "metric": "hybrid_pipeline_1080p",
+        "value": round(ms, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(33.0 / ms, 3),
         "detail": {
             "resolution": f"{W}x{H}",
-            "bounces": BOUNCES,
-            "ms_per_1spp_frame": round(dt * 1e3, 3),
+            "passes": "gbuffer+shadows(F)+ao(H)+ddgi(256rpp)+reflections(H)+deferred+taa+tonemap",
+            "probes": r.probe_grid.num_probes,
+            "triangles": int(scene.num_triangles),
+            "compile_s": round(compile_s, 1),
             "scene": "shadows_test (pillars)",
             "device": str(jax.devices()[0]),
+            "target_ms": 33.0,
         },
     }))
 

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from hybrid_rendering_tpu.config import AOConfig
-from hybrid_rendering_tpu.ops import brdf as brdf_ops, filters, rng as rng_ops
+from hybrid_rendering_tpu.ops import (
+    bluenoise, brdf as brdf_ops, filters, rng as rng_ops,
+)
 from hybrid_rendering_tpu.ops.reprojection import reproject
 from hybrid_rendering_tpu.types import GBuffer
 
@@ -49,13 +51,8 @@ def ray_trace(
     """1 cosine-lobe occlusion ray/pixel, finite length
     (ao_ray_trace.comp:90-126)."""
     h, w = gb.depth.shape
-    yy, xx = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.uint32), jnp.arange(w, dtype=jnp.uint32),
-        indexing="ij",
-    )
-    rng = rng_ops.rng_init(xx.reshape(-1), yy.reshape(-1), frame_index)
-    rng, r2 = rng_ops.next_vec2(rng)
-    r2 = r2.reshape(h, w, 2)
+    u, v = bluenoise.sample2d_grid(h, w, frame_index, dim=1)
+    r2 = jnp.stack([u, v], axis=-1)
 
     wi = brdf_ops.sample_cosine_lobe(gb.normal, r2)
     origin = gb.position + gb.normal * cfg.bias

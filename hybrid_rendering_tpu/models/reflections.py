@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from hybrid_rendering_tpu.config import ReflectionsConfig
-from hybrid_rendering_tpu.ops import brdf as brdf_ops, filters, rng as rng_ops
+from hybrid_rendering_tpu.ops import (
+    bluenoise, brdf as brdf_ops, filters, rng as rng_ops,
+)
 from hybrid_rendering_tpu.ops.lighting import direct_lighting
 from hybrid_rendering_tpu.ops.math3d import dot, luminance, normalize, reflect
 from hybrid_rendering_tpu.ops.reprojection import (
@@ -81,8 +83,8 @@ def ray_trace(
         indexing="ij",
     )
     rng = rng_ops.rng_init(xx.reshape(-1), yy.reshape(-1), frame_index)
-    rng, r2 = rng_ops.next_vec2(rng)
-    r2 = (r2 * cfg.trim).reshape(h, w, 2)  # trim (rgen:157-166)
+    bu, bv = bluenoise.sample2d_grid(h, w, frame_index, dim=2)
+    r2 = jnp.stack([bu, bv], axis=-1) * cfg.trim  # trim (rgen:157-166)
 
     p = gb.position
     n = gb.normal

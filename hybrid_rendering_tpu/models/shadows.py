@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from hybrid_rendering_tpu.config import ShadowsConfig
-from hybrid_rendering_tpu.ops import filters, rng as rng_ops
+from hybrid_rendering_tpu.ops import bluenoise, filters, rng as rng_ops
 from hybrid_rendering_tpu.ops.lighting import fetch_light_properties
 from hybrid_rendering_tpu.ops.reprojection import reproject
 from hybrid_rendering_tpu.types import Camera, GBuffer, Light
@@ -64,13 +64,10 @@ def ray_trace(
     """1 shadow ray/pixel with blue-noise disk sampling on the light
     (shadows_ray_trace.comp:73-131). Sky pixels get visibility 0."""
     h, w = gb.depth.shape
-    yy, xx = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.uint32), jnp.arange(w, dtype=jnp.uint32),
-        indexing="ij",
-    )
-    rng = rng_ops.rng_init(xx.reshape(-1), yy.reshape(-1), frame_index)
-    rng, r2 = rng_ops.next_vec2(rng)
-    r2 = r2.reshape(h, w, 2)
+    # blue-noise light-disk sample (reference uses BLUE_NOISE_1SPP,
+    # shadows_ray_trace.comp:73-77)
+    u, v = bluenoise.sample2d_grid(h, w, frame_index, dim=0)
+    r2 = jnp.stack([u, v], axis=-1)
 
     p = gb.position
     n = gb.normal

@@ -105,9 +105,16 @@ class SceneBuilder:
 
         bvh_kw = {}
         if use_bvh:
-            from hybrid_rendering_tpu.ops import bvh as bvh_mod
+            # prefer the native binned-SAH builder (native/hr_native.cpp);
+            # fall back to the Python Morton median-split build
+            from hybrid_rendering_tpu.scene import native as native_mod
 
-            nodes_min, nodes_max, nodes_meta, order = bvh_mod.build_bvh(tri_pos)
+            built = native_mod.build_bvh_native(tri_pos)
+            if built is None:
+                from hybrid_rendering_tpu.ops import bvh as bvh_mod
+
+                built = bvh_mod.build_bvh(tri_pos)
+            nodes_min, nodes_max, nodes_meta, order = built
             # permute triangles into BVH leaf order so leaves index
             # contiguous ranges (better locality for traversal gathers)
             tri_pos = tri_pos[order]

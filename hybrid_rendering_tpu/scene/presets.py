@@ -1,0 +1,92 @@
+"""Per-scene presets — set_active_scene / reset_light equivalents.
+
+The reference tunes DDGI and lights per scene on activation
+(src/main.cpp:1084-1145 set_active_scene: normal bias, probe distance,
+infinite-bounce intensity; src/main.cpp:776-933 reset_light: per-scene
+per-light-type presets). This module is the data-driven replacement: a
+preset table keyed by scene name producing (RendererConfig overrides,
+Light, camera kwargs, demo keyframes)."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+from hybrid_rendering_tpu.config import DDGIConfig, RendererConfig
+from hybrid_rendering_tpu.scene.scenes import load_scene
+from hybrid_rendering_tpu.utils.animation import Keyframe
+
+
+@dataclasses.dataclass(frozen=True)
+class ScenePreset:
+    """Everything set_active_scene would mutate."""
+
+    ddgi_probe_distance: float
+    ddgi_normal_bias: float
+    ddgi_infinite_bounce_intensity: float
+    ddgi_rays_per_probe: int = 256
+    demo_keyframes: tuple = ()
+
+
+# values mirror the intent of main.cpp:1092-1142 (per-scene tuning); the
+# procedural stand-in scenes have different extents so distances are scaled
+# to keep probe counts comparable
+PRESETS: Dict[str, ScenePreset] = {
+    "shadows_test": ScenePreset(
+        ddgi_probe_distance=4.0, ddgi_normal_bias=0.25,
+        ddgi_infinite_bounce_intensity=1.7,
+        demo_keyframes=(
+            Keyframe((14.0, 6.0, 16.0), (0.0, 2.0, 0.0), 0.0),
+            Keyframe((16.0, 8.0, -2.0), (0.0, 2.0, 0.0), 4.0),
+            Keyframe((-2.0, 10.0, -16.0), (0.0, 2.0, 0.0), 8.0),
+            Keyframe((-16.0, 6.0, 2.0), (0.0, 2.0, 0.0), 12.0),
+            Keyframe((14.0, 6.0, 16.0), (0.0, 2.0, 0.0), 16.0),
+        ),
+    ),
+    "reflections_test": ScenePreset(
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.25,
+        ddgi_infinite_bounce_intensity=1.7,
+        demo_keyframes=(
+            Keyframe((0.0, 4.5, 12.0), (0.0, 1.0, -2.0), 0.0),
+            Keyframe((8.0, 3.0, 8.0), (0.0, 1.0, -2.0), 4.0),
+            Keyframe((-8.0, 5.0, 8.0), (0.0, 1.0, -2.0), 8.0),
+            Keyframe((0.0, 4.5, 12.0), (0.0, 1.0, -2.0), 12.0),
+        ),
+    ),
+    "gi_test": ScenePreset(
+        ddgi_probe_distance=1.5, ddgi_normal_bias=0.25,
+        ddgi_infinite_bounce_intensity=1.7,
+        demo_keyframes=(
+            Keyframe((0.0, 5.0, 16.0), (0.0, 4.0, 0.0), 0.0),
+            Keyframe((4.0, 6.0, 14.0), (0.0, 4.0, 0.0), 4.0),
+            Keyframe((-4.0, 4.0, 14.0), (0.0, 4.0, 0.0), 8.0),
+            Keyframe((0.0, 5.0, 16.0), (0.0, 4.0, 0.0), 12.0),
+        ),
+    ),
+    "pica_pica": ScenePreset(
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.25,
+        ddgi_infinite_bounce_intensity=1.7,
+    ),
+    "sponza": ScenePreset(
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.4,
+        ddgi_infinite_bounce_intensity=3.0,  # Sponza boost (main.cpp:1127-1138)
+    ),
+}
+
+
+def apply_preset(name: str, base: Optional[RendererConfig] = None):
+    """Returns (scene, light, camera kwargs, RendererConfig with per-scene
+    DDGI tuning, preset). The reference equivalent is
+    set_active_scene + reset_light."""
+    scene, light, camkw = load_scene(name)
+    preset = PRESETS[name]
+    cfg = base or RendererConfig()
+    cfg = cfg.replace(
+        ddgi=dataclasses.replace(
+            cfg.ddgi,
+            probe_distance=preset.ddgi_probe_distance,
+            normal_bias=preset.ddgi_normal_bias,
+            infinite_bounce_intensity=preset.ddgi_infinite_bounce_intensity,
+            rays_per_probe=preset.ddgi_rays_per_probe,
+        )
+    )
+    return scene, light, camkw, cfg, preset
