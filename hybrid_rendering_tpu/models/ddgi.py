@@ -158,9 +158,11 @@ def oct_bilinear_sample(atlas: jax.Array, probe_idx: jax.Array, dirs: jax.Array)
     y0 = y0.astype(jnp.int32)
     flat = atlas.reshape(P * S * S, C)
 
+    from hybrid_rendering_tpu.ops.filters import take_rows
+
     def tap(xi, yi):
         xw, yw = _wrap_oct_coords(xi, yi, S)
-        return jnp.take(flat, probe_idx * (S * S) + yw * S + xw, axis=0)
+        return take_rows(flat, probe_idx * (S * S) + yw * S + xw)
 
     v00 = tap(x0, y0)
     v10 = tap(x0 + 1, y0)

@@ -321,22 +321,61 @@ def make_tracers(scene: SceneArrays, use_bvh: bool = True, method: str = "auto")
     return _make_flat(closest), _make_flat(vis)
 
 
+def _pick_block(H, W):
+    """Largest pixel-block size dividing both dims (16x16 = one 256-ray
+    FlashTrace packet; smaller blocks still group packets coherently —
+    the TPU analog of the reference's 8x4 screen-tile workgroups,
+    SURVEY §2.10.1)."""
+    for b in (16, 8, 4, 2):
+        if H % b == 0 and W % b == 0:
+            return b
+    return 1
+
+
+def _block_linearize(x, H, W, b):
+    rest = x.shape[2:]
+    x = x.reshape(H // b, b, W // b, b, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(H * W, *rest)
+
+
+def _block_delinearize(x, H, W, b):
+    rest = x.shape[1:]
+    x = x.reshape(H // b, W // b, b, b, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(H, W, *rest)
+
+
 def _make_flat(fn):
-    """Adapt a flat-(R,3) tracer to arbitrary (..., 3) batches."""
+    """Adapt a flat-(R,3) tracer to arbitrary (..., 3) batches. 2-D image
+    batches are reordered into coherent pixel blocks around the call."""
 
     def wrapped(origin, direction, t_max):
         shape = origin.shape[:-1]
-        o = origin.reshape(-1, 3)
-        d = direction.reshape(-1, 3)
-        tm = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), shape).reshape(-1)
+        tm_full = jnp.broadcast_to(
+            jnp.asarray(t_max, origin.dtype), shape
+        )
+        b = _pick_block(*shape) if len(shape) == 2 else 1
+        blocked = b > 1
+        if blocked:
+            H, W = shape
+            o = _block_linearize(origin, H, W, b)
+            d = _block_linearize(direction, H, W, b)
+            tm = _block_linearize(tm_full, H, W, b)
+        else:
+            o = origin.reshape(-1, 3)
+            d = direction.reshape(-1, 3)
+            tm = tm_full.reshape(-1)
         out = fn(o, d, tm)
+
+        def back(arr):
+            if blocked:
+                return _block_delinearize(arr, shape[0], shape[1], b)
+            return arr.reshape(shape)
+
         if isinstance(out, Hit):
-            return Hit(
-                t=out.t.reshape(shape),
-                tri_id=out.tri_id.reshape(shape),
-                u=out.u.reshape(shape),
-                v=out.v.reshape(shape),
-            )
-        return out.reshape(shape)
+            return Hit(t=back(out.t), tri_id=back(out.tri_id),
+                       u=back(out.u), v=back(out.v))
+        return back(out)
 
     return wrapped

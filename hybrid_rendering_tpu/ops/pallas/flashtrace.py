@@ -49,6 +49,7 @@ class FlashScene(NamedTuple):
     """Per-scene constants for the flash tracer."""
 
     trimat: jax.Array  # (FEAT, NTT*4*TRI_TILE) column-blocked [det|t|u|v]
+    cluster_box: jax.Array  # (NTT, 8) cluster AABB [min.xyz, max.xyz, pad]
     center: jax.Array  # (3,) recentering offset
     num_tris: int
     num_tri_tiles: int
@@ -90,8 +91,22 @@ def make_flash_scene(tri_pos: jax.Array) -> FlashScene:
     # -> (ntt, 4, TRI_TILE, FEAT) -> (FEAT, ntt*4*TRI_TILE)
     cols = cols.reshape(4, ntt, TRI_TILE, FEAT).transpose(1, 0, 2, 3)
     trimat = cols.reshape(ntt * 4 * TRI_TILE, FEAT).T
+
+    # per-tile (cluster) AABBs for packet culling — triangle tiles follow
+    # the BVH/Morton leaf order (scene compile permutes tris), so tiles are
+    # spatially tight. Recentered like the rays.
+    verts = (tri_pos - center).reshape(T, 9)
+    verts = jnp.pad(verts, ((0, t_pad - T), (0, 0)),
+                    constant_values=jnp.nan)
+    vt = verts.reshape(ntt, TRI_TILE, 3, 3)
+    cmin = jnp.nan_to_num(jnp.nanmin(vt, axis=(1, 2)), nan=3e38)
+    cmax = jnp.nan_to_num(jnp.nanmax(vt, axis=(1, 2)), nan=-3e38)
+    cluster_box = jnp.concatenate(
+        [cmin, cmax, jnp.zeros((ntt, 2), jnp.float32)], axis=1
+    )
     return FlashScene(
-        trimat=jnp.asarray(trimat), center=center, num_tris=T, num_tri_tiles=ntt
+        trimat=jnp.asarray(trimat), cluster_box=cluster_box,
+        center=center, num_tris=T, num_tri_tiles=ntt,
     )
 
 
@@ -103,7 +118,29 @@ def _features(origin, direction, center):
     return jnp.pad(f, ((0, 0), (0, FEAT - 10)))
 
 
-def _closest_kernel(feats_ref, tmax_ref, trimat_ref, best_ref, id_ref, *, t_min):
+def _ray_box_any(feats, box_ref, j, best_t, t_min):
+    """Does any ray in the tile enter cluster j's AABB closer than its
+    current best? feats: (RT, FEAT) with o in cols 0:3 (recentered), d in
+    3:6. box_ref is the full (NTT, 8) cluster table in SMEM."""
+    tnear = jnp.full(best_t.shape, -BIG_T)
+    tfar = jnp.full(best_t.shape, BIG_T)
+    for axis in range(3):
+        o = feats[:, axis]
+        d = feats[:, 3 + axis]
+        safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        inv = 1.0 / safe
+        lo = (box_ref[j, axis] - o) * inv
+        hi = (box_ref[j, 3 + axis] - o) * inv
+        tnear = jnp.maximum(tnear, jnp.minimum(lo, hi))
+        tfar = jnp.minimum(tfar, jnp.maximum(lo, hi))
+    hit = (tnear <= tfar) & (tfar > t_min) & (tnear < best_t)
+    # rays whose budget is exhausted (padded rays have t_max = 0) are dead
+    hit = hit & (best_t > t_min)
+    return jnp.max(hit.astype(jnp.int32)) > 0
+
+
+def _closest_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, best_ref,
+                    id_ref, *, t_min):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -112,56 +149,68 @@ def _closest_kernel(feats_ref, tmax_ref, trimat_ref, best_ref, id_ref, *, t_min)
         best_ref[:, 1:3] = jnp.zeros_like(best_ref[:, 1:3])
         id_ref[:] = jnp.full_like(id_ref[:], -1)
 
-    prod = jnp.dot(
-        feats_ref[:], trimat_ref[:], preferred_element_type=jnp.float32
-    )  # (RAY_TILE, 4*TRI_TILE) grouped [det | t | u | v]
-    det = prod[:, 0 * TRI_TILE : 1 * TRI_TILE]
-    tn = prod[:, 1 * TRI_TILE : 2 * TRI_TILE]
-    un = prod[:, 2 * TRI_TILE : 3 * TRI_TILE]
-    vn = prod[:, 3 * TRI_TILE : 4 * TRI_TILE]
+    # packet-level cluster culling: skip the whole (ray tile, tri tile)
+    # step when no ray can hit this cluster closer than its current best
+    feats = feats_ref[:]
+    best_t0 = best_ref[:, 0]
 
-    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-    t = tn * inv_det
-    u = un * inv_det
-    v = vn * inv_det
-    best_t = best_ref[:, 0:1]
-    ok = (
-        (jnp.abs(det) > 1e-9)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t < best_t)
-    )
-    t_masked = jnp.where(ok, t, BIG_T)
-    tile_min = jnp.min(t_masked, axis=1, keepdims=True)  # (RT,1)
-    improved = tile_min < best_t  # (RT,1)
+    @pl.when(_ray_box_any(feats, box_ref, j, best_t0, t_min))
+    def _work():
+        prod = jnp.dot(
+            feats, trimat_ref[:], preferred_element_type=jnp.float32
+        )  # (RAY_TILE, 4*TRI_TILE) grouped [det | t | u | v]
+        det = prod[:, 0 * TRI_TILE : 1 * TRI_TILE]
+        tn = prod[:, 1 * TRI_TILE : 2 * TRI_TILE]
+        un = prod[:, 2 * TRI_TILE : 3 * TRI_TILE]
+        vn = prod[:, 3 * TRI_TILE : 4 * TRI_TILE]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
-    is_min = t_masked == tile_min
-    first = jnp.min(jnp.where(is_min, lane, TRI_TILE), axis=1, keepdims=True)
-    sel = lane == first  # exactly one col per improved row
-    u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-    v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+        inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+        t = tn * inv_det
+        u = un * inv_det
+        v = vn * inv_det
+        best_t = best_ref[:, 0:1]
+        ok = (
+            (jnp.abs(det) > 1e-9)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > t_min)
+            & (t < best_t)
+        )
+        t_masked = jnp.where(ok, t, BIG_T)
+        tile_min = jnp.min(t_masked, axis=1, keepdims=True)  # (RT,1)
+        improved = tile_min < best_t  # (RT,1)
 
-    best_ref[:, 0:1] = jnp.where(improved, tile_min, best_t)
-    best_ref[:, 1:2] = jnp.where(improved, u_sel, best_ref[:, 1:2])
-    best_ref[:, 2:3] = jnp.where(improved, v_sel, best_ref[:, 2:3])
-    id_ref[:] = jnp.where(improved, j * TRI_TILE + first, id_ref[:])
+        lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
+        is_min = t_masked == tile_min
+        first = jnp.min(jnp.where(is_min, lane, TRI_TILE), axis=1, keepdims=True)
+        sel = lane == first  # exactly one col per improved row
+        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+
+        best_ref[:, 0:1] = jnp.where(improved, tile_min, best_t)
+        best_ref[:, 1:2] = jnp.where(improved, u_sel, best_ref[:, 1:2])
+        best_ref[:, 2:3] = jnp.where(improved, v_sel, best_ref[:, 2:3])
+        id_ref[:] = jnp.where(improved, j * TRI_TILE + first, id_ref[:])
 
 
-def _anyhit_kernel(feats_ref, tmax_ref, trimat_ref, vis_ref, *, t_min):
+def _anyhit_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, vis_ref, *, t_min):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        vis_ref[:] = jnp.ones_like(vis_ref[:])
+        # padded rays (t_max == 0) start dead so they can't keep tiles alive
+        vis_ref[:] = (tmax_ref[:] > t_min).astype(jnp.int32)
 
-    # skip the tile entirely once every ray in the packet is blocked
-    @pl.when(jnp.max(vis_ref[:]) > 0)
+    # skip when every live ray is already blocked OR no live unblocked ray
+    # can reach this cluster within its t_max
+    feats = feats_ref[:]
+    live_budget = jnp.where(vis_ref[:, 0] > 0, tmax_ref[:, 0], 0.0)
+
+    @pl.when(_ray_box_any(feats, box_ref, j, live_budget, t_min))
     def _work():
         prod = jnp.dot(
-            feats_ref[:], trimat_ref[:], preferred_element_type=jnp.float32
+            feats, trimat_ref[:], preferred_element_type=jnp.float32
         )
         det = prod[:, 0 * TRI_TILE : 1 * TRI_TILE]
         tn = prod[:, 1 * TRI_TILE : 2 * TRI_TILE]
@@ -213,6 +262,7 @@ def flash_closest_hit(
             pl.BlockSpec(
                 (FEAT, 4 * TRI_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full cluster table
         ],
         out_specs=[
             pl.BlockSpec((RAY_TILE, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -223,7 +273,7 @@ def flash_closest_hit(
             jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(feats, tmax, fs.trimat)
+    )(feats, tmax, fs.trimat, fs.cluster_box)
 
     t = best[:R, 0]
     tid = tid[:R, 0]
@@ -261,11 +311,12 @@ def flash_visibility(
             pl.BlockSpec(
                 (FEAT, 4 * TRI_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full cluster table
         ],
         out_specs=pl.BlockSpec(
             (RAY_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
         interpret=interpret,
-    )(feats, tmax, fs.trimat)
+    )(feats, tmax, fs.trimat, fs.cluster_box)
     return vis[:R, 0].astype(origin.dtype)

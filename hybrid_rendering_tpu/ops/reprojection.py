@@ -52,6 +52,7 @@ def reproject(
     history_moments: Optional[jax.Array] = None,  # (H,W,2)
     history_length: Optional[jax.Array] = None,  # (H,W)
     reprojected_coord: Optional[tuple] = None,  # override (hx, hy) float pixel coords
+    fallback: bool = True,  # 3x3 cross-bilateral rescue taps (glsl:267-311)
 ) -> ReprojectionResult:
     """Reproject history into the current frame.
 
@@ -127,20 +128,24 @@ def reproject(
     # (reprojection.glsl:267-311)
     hxr = (hx + 0.5).astype(jnp.int32)
     hyr = (hy + 0.5).astype(jnp.int32)
-    fb_vals = jnp.zeros_like(sum_vals)
-    fb_cnt = jnp.zeros((H, W))
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            vals, ok = tap(hxr + dx, hyr + dy)
-            w = ok.astype(jnp.float32)
-            fb_vals = fb_vals + vals * w[..., None]
-            fb_cnt = fb_cnt + w
-    fb_valid = fb_cnt > 0
-    fb_vals = fb_vals / jnp.maximum(fb_cnt, 1e-8)[..., None]
+    if fallback:
+        fb_vals = jnp.zeros_like(sum_vals)
+        fb_cnt = jnp.zeros((H, W))
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                vals, ok = tap(hxr + dx, hyr + dy)
+                w = ok.astype(jnp.float32)
+                fb_vals = fb_vals + vals * w[..., None]
+                fb_cnt = fb_cnt + w
+        fb_valid = fb_cnt > 0
+        fb_vals = fb_vals / jnp.maximum(fb_cnt, 1e-8)[..., None]
 
-    use_fb = (~bil_valid) & fb_valid
-    valid = bil_valid | fb_valid
-    out = jnp.where(use_fb[..., None], fb_vals, bil_vals)
+        use_fb = (~bil_valid) & fb_valid
+        valid = bil_valid | fb_valid
+        out = jnp.where(use_fb[..., None], fb_vals, bil_vals)
+    else:
+        valid = bil_valid
+        out = bil_vals
     out = jnp.where(valid[..., None], out, 0.0)
 
     hist_out = out[..., :C]

@@ -17,14 +17,16 @@ def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
     return safe dummy values (mask with hit.valid downstream).
 
     origin/direction: (..., 3); hit fields (...,)."""
+    from hybrid_rendering_tpu.ops.filters import take_rows
+
     tid = jnp.clip(hit.tri_id, 0, scene.tri_pos.shape[0] - 1)
     w = (1.0 - hit.u - hit.v)[..., None]
     u = hit.u[..., None]
     v = hit.v[..., None]
 
-    tp = scene.tri_pos[tid]  # (..., 3, 3)
-    tn = scene.tri_normal[tid]
-    tuv = scene.tri_uv[tid]
+    tp = take_rows(scene.tri_pos, tid)  # (..., 3, 3)
+    tn = take_rows(scene.tri_normal, tid)
+    tuv = take_rows(scene.tri_uv, tid)
 
     position = w * tp[..., 0, :] + u * tp[..., 1, :] + v * tp[..., 2, :]
     normal = normalize(w * tn[..., 0, :] + u * tn[..., 1, :] + v * tn[..., 2, :])
@@ -42,17 +44,17 @@ def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
         (jnp.sum(normal * geo_n, axis=-1) < 0.0)[..., None], -normal, normal
     )
 
-    mat_id = scene.tri_mat[tid]
+    mat_id = take_rows(scene.tri_mat, tid)
     mats = scene.materials
     return Surface(
         position=position,
         normal=normal,
         geo_normal=geo_n,
         uv=uv,
-        albedo=mats.albedo[mat_id],
-        roughness=mats.roughness[mat_id],
-        metallic=mats.metallic[mat_id],
-        emissive=mats.emissive[mat_id],
-        mesh_id=scene.tri_mesh_id[tid],
+        albedo=take_rows(mats.albedo, mat_id),
+        roughness=take_rows(mats.roughness, mat_id),
+        metallic=take_rows(mats.metallic, mat_id),
+        emissive=take_rows(mats.emissive, mat_id),
+        mesh_id=take_rows(scene.tri_mesh_id, tid),
         mat_id=mat_id,
     )
