@@ -37,7 +37,6 @@ from hybrid_rendering_tpu.ops.math3d import dot, normalize
 from hybrid_rendering_tpu.ops.octahedral import (
     direction_to_octahedral, octahedral_to_direction,
 )
-from hybrid_rendering_tpu.scene.fetch import fetch_surface
 from hybrid_rendering_tpu.types import GBuffer, Light, SceneArrays
 
 
@@ -304,7 +303,7 @@ def _random_rotation(frame_index) -> jax.Array:
 
 def ddgi_update(
     scene: SceneArrays,
-    closest_fn: Callable,
+    closest_surface_fn: Callable,
     visibility_fn: Callable,
     grid: ProbeGrid,
     state: DDGIState,
@@ -326,8 +325,7 @@ def ddgi_update(
     o = jnp.broadcast_to(origins[:, None, :], (P, R, 3)).reshape(-1, 3)
     d = jnp.broadcast_to(ray_dirs[None, :, :], (P, R, 3)).reshape(-1, 3)
 
-    hit = closest_fn(o, d, jnp.full((P * R,), 1e4))
-    surf = fetch_surface(scene, o, d, hit)
+    hit, surf = closest_surface_fn(o, d, 1e4)
 
     # --- shade (gi_ray_trace.rchit:95-128) ---
     f0 = brdf_ops.f0_from_metallic(surf.albedo, surf.metallic)

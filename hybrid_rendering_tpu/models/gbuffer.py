@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from hybrid_rendering_tpu.ops.math3d import INF_T
-from hybrid_rendering_tpu.scene.fetch import fetch_surface
 from hybrid_rendering_tpu.types import Camera, GBuffer, SceneArrays
 from hybrid_rendering_tpu.utils import camera as camera_utils
 
@@ -48,22 +47,20 @@ def screen_curvature(normal, mask):
 
 def render_gbuffer(
     scene: SceneArrays,
-    closest_fn: Callable,
+    closest_surface_fn: Callable,
     camera: Camera,
     width: int,
     height: int,
 ) -> GBuffer:
-    """Trace primary rays and fill every G-buffer plane."""
+    """Trace primary rays and fill every G-buffer plane.
+    closest_surface_fn: from ops.bvh.make_surface_tracer (fused trace +
+    attribute fetch on the flash path)."""
     origins, dirs = camera_utils.camera_rays(camera, width, height)
-    o = origins.reshape(-1, 3)
-    d = dirs.reshape(-1, 3)
-    hit = closest_fn(o, d, jnp.full((height * width,), INF_T))
-    surf = fetch_surface(scene, o, d, hit)
-    valid = hit.valid
+    hit, surf = closest_surface_fn(origins, dirs, INF_T)
 
-    pos = surf.position.reshape(height, width, 3)
-    normal = surf.normal.reshape(height, width, 3)
-    vmask = valid.reshape(height, width)
+    pos = surf.position
+    normal = surf.normal
+    vmask = hit.valid
 
     # depth / linear z
     ndc = _ndc_from_world(camera.view_proj, pos)
@@ -93,15 +90,13 @@ def render_gbuffer(
     )
 
     return GBuffer(
-        albedo=jnp.where(
-            vmask[..., None], surf.albedo.reshape(height, width, 3), 0.0
-        ),
-        metallic=jnp.where(vmask, surf.metallic.reshape(height, width), 0.0),
+        albedo=jnp.where(vmask[..., None], surf.albedo, 0.0),
+        metallic=jnp.where(vmask, surf.metallic, 0.0),
         normal=jnp.where(vmask[..., None], normal, 0.0),
         motion=motion,
-        roughness=jnp.where(vmask, surf.roughness.reshape(height, width), 1.0),
+        roughness=jnp.where(vmask, surf.roughness, 1.0),
         curvature=curvature,
-        mesh_id=jnp.where(vmask, surf.mesh_id.reshape(height, width), -1),
+        mesh_id=jnp.where(vmask, surf.mesh_id, -1),
         linear_z=linear_z,
         depth=depth,
         position=jnp.where(vmask[..., None], pos, 0.0),

@@ -29,7 +29,6 @@ from hybrid_rendering_tpu.config import PathTracerConfig
 from hybrid_rendering_tpu.ops import brdf as brdf_ops
 from hybrid_rendering_tpu.ops import lighting, rng as rng_ops
 from hybrid_rendering_tpu.ops.math3d import INF_T, dot, normalize
-from hybrid_rendering_tpu.scene.fetch import fetch_surface
 from hybrid_rendering_tpu.types import Camera, Light, SceneArrays
 from hybrid_rendering_tpu.utils import camera as camera_utils
 
@@ -59,7 +58,7 @@ class GroundTruthState:
 
 def trace_wavefront(
     scene: SceneArrays,
-    closest_fn: Callable,
+    closest_surface_fn: Callable,
     visibility_fn: Callable,
     light: Light,
     sky_radiance_fn: Callable,
@@ -80,7 +79,7 @@ def trace_wavefront(
     alive = jnp.ones((R,), bool)
 
     for depth in range(cfg.max_ray_bounces):
-        hit = closest_fn(origin, direction, jnp.full((R,), INF_T))
+        hit, surf = closest_surface_fn(origin, direction, INF_T)
         miss = ~hit.valid
 
         # environment on miss (rmiss: depth 0 -> raw env, else T * env)
@@ -89,7 +88,6 @@ def trace_wavefront(
         L = jnp.where((alive & miss)[:, None], L + env_contrib, L)
         alive = alive & hit.valid
 
-        surf = fetch_surface(scene, origin, direction, hit)
         wo = -direction
         n = surf.normal
         p = surf.position
@@ -137,7 +135,7 @@ def trace_wavefront(
 
 def trace_sample(
     scene: SceneArrays,
-    closest_fn: Callable,
+    closest_surface_fn: Callable,
     visibility_fn: Callable,
     camera: Camera,
     light: Light,
@@ -162,7 +160,7 @@ def trace_sample(
         camera, width, height, jitter_uv=jit2.reshape(height, width, 2)
     )
     L = trace_wavefront(
-        scene, closest_fn, visibility_fn, light, sky_radiance_fn,
+        scene, closest_surface_fn, visibility_fn, light, sky_radiance_fn,
         origins.reshape(-1, 3), dirs.reshape(-1, 3), rng, cfg,
     )
     return L.reshape(height, width, 3)
@@ -180,7 +178,7 @@ def accumulate(state: GroundTruthState, sample):
 
 def render_progressive(
     scene: SceneArrays,
-    closest_fn,
+    closest_surface_fn,
     visibility_fn,
     camera: Camera,
     light: Light,
@@ -200,7 +198,7 @@ def render_progressive(
     @partial(jax.jit, donate_argnums=(0,))
     def step(st):
         s = trace_sample(
-            scene, closest_fn, visibility_fn, camera, light, sky_radiance_fn,
+            scene, closest_surface_fn, visibility_fn, camera, light, sky_radiance_fn,
             width, height, st.num_frames, cfg,
         )
         return accumulate(st, s)

@@ -35,7 +35,6 @@ from hybrid_rendering_tpu.ops.math3d import dot, luminance, normalize, reflect
 from hybrid_rendering_tpu.ops.reprojection import (
     reproject, virtual_point_coords,
 )
-from hybrid_rendering_tpu.scene.fetch import fetch_surface
 from hybrid_rendering_tpu.types import Camera, GBuffer, Light, SceneArrays
 
 
@@ -64,7 +63,7 @@ class ReflectionsOutputs(NamedTuple):
 
 def ray_trace(
     scene: SceneArrays,
-    closest_fn: Callable,
+    closest_surface_fn: Callable,
     visibility_fn: Callable,
     gb: GBuffer,
     camera: Camera,
@@ -111,20 +110,16 @@ def ray_trace(
     needs_ray = geom & ~use_ddgi
 
     origin = p + n * cfg.bias
-    hit = closest_fn(origin, ray_dir, jnp.full((h, w), 1e4))
+    hit, surf = closest_surface_fn(origin, ray_dir, 1e4)
     hit_valid = hit.valid & needs_ray
 
     # --- shade hits (rchit) ---
-    o_flat = origin.reshape(-1, 3)
-    d_flat = ray_dir.reshape(-1, 3)
-    surf = fetch_surface(scene, o_flat, d_flat, jax.tree_util.tree_map(
-        lambda x: x.reshape(-1), hit))
-    sp = surf.position.reshape(h, w, 3)
-    sn = surf.normal.reshape(h, w, 3)
-    s_albedo = surf.albedo.reshape(h, w, 3)
-    s_rough = surf.roughness.reshape(h, w)
-    s_metal = surf.metallic.reshape(h, w)
-    s_emis = surf.emissive.reshape(h, w, 3)
+    sp = surf.position
+    sn = surf.normal
+    s_albedo = surf.albedo
+    s_rough = surf.roughness
+    s_metal = surf.metallic
+    s_emis = surf.emissive
 
     f0 = brdf_ops.f0_from_metallic(s_albedo, s_metal)
     c_diff = s_albedo * (1.0 - f0) * (1.0 - s_metal[..., None])
@@ -238,7 +233,7 @@ def temporal_accumulation(
 
 def reflections_pass(
     scene: SceneArrays,
-    closest_fn: Callable,
+    closest_surface_fn: Callable,
     visibility_fn: Callable,
     gb_scaled: GBuffer,
     prev_gb_scaled: GBuffer,
@@ -255,7 +250,7 @@ def reflections_pass(
 ):
     """Full reflections pipeline (ray_traced_reflections.cpp:107-123)."""
     raw, ray_length = ray_trace(
-        scene, closest_fn, visibility_fn, gb_scaled, camera, light,
+        scene, closest_surface_fn, visibility_fn, gb_scaled, camera, light,
         sky_radiance_fn, frame_index, cfg, gi_sample_fn, env_prefiltered_fn,
     )
 

@@ -76,6 +76,9 @@ class HybridRenderer:
         self.closest_fn, self.visibility_fn = bvh_mod.make_tracers(
             scene, method=tracer_method
         )
+        self.closest_surface_fn = bvh_mod.make_surface_tracer(
+            scene, method=tracer_method
+        )
         # probe grid geometry is static per scene (recreated on scene /
         # probe-distance change, like ddgi.cpp:93-95,115-118 -> re-jit)
         lo, hi = scene.aabb()
@@ -96,7 +99,7 @@ class HybridRenderer:
         )
         gb0 = jax.eval_shape(
             lambda: gbuffer_mod.render_gbuffer(
-                self.scene, self.closest_fn, dummy_cam, W, H
+                self.scene, self.closest_surface_fn, dummy_cam, W, H
             )
         )
         zero_gb = jax.tree_util.tree_map(
@@ -130,7 +133,7 @@ class HybridRenderer:
         outputs: Dict[str, jax.Array] = {}
 
         # --- G-buffer (main.cpp:79) ---
-        gb = gbuffer_mod.render_gbuffer(self.scene, self.closest_fn, camera, W, H)
+        gb = gbuffer_mod.render_gbuffer(self.scene, self.closest_surface_fn, camera, W, H)
         outputs["gbuffer_albedo"] = gb.albedo
         outputs["gbuffer_normal"] = gb.normal
         outputs["gbuffer_depth"] = gb.depth
@@ -179,7 +182,7 @@ class HybridRenderer:
         gi_sample_fn = None
         if cfg.ddgi.enabled:
             ddgi_state = ddgi_mod.ddgi_update(
-                self.scene, self.closest_fn, self.visibility_fn,
+                self.scene, self.closest_surface_fn, self.visibility_fn,
                 self.probe_grid, state.ddgi, light, self.sky_radiance_fn,
                 state.frame_index, cfg.ddgi,
             )
@@ -214,7 +217,7 @@ class HybridRenderer:
                 state.prev_gbuffer, int(cfg.reflections.scale)
             )
             refl_out, refl_state = reflections_mod.reflections_pass(
-                self.scene, self.closest_fn, self.visibility_fn,
+                self.scene, self.closest_surface_fn, self.visibility_fn,
                 gb_r, prev_gb_r, gb, camera, camera_delta, light,
                 self.sky_radiance_fn, state.reflections, state.frame_index,
                 cfg.reflections,

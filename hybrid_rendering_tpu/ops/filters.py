@@ -261,32 +261,37 @@ def upsample_edge_aware(
     bilinear x depth x normal agreement with the full-res pixel."""
     s = 1 << scale
     H, W = hi_depth.shape
-    h, w = low_depth.shape
     single = low.ndim == 2
     low_c = low[..., None] if single else low
+
+    # Gather-free taps: the 4 bilinear source texels for full-res pixel i
+    # along an axis are low[(i - s//2)//s] and the next texel — i.e. a
+    # repeat-by-s followed by static +-s//2 shifts (static-index gathers
+    # would still hit the TPU scalar-core gather path).
+    half = s // 2
+
+    def up_rep(x):
+        x = jnp.repeat(x, s, axis=0)
+        return jnp.repeat(x, s, axis=1)
+
+    def tap_img(x, dy, dx):
+        return shift2d(up_rep(x), half - dy * s, half - dx * s)[:H, :W]
 
     yy, xx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    # position of the full-res pixel in low-res texel space
-    lx = (xx + 0.5) / s - 0.5
-    ly = (yy + 0.5) / s - 0.5
-    x0 = jnp.floor(lx)
-    y0 = jnp.floor(ly)
-    fx = lx - x0
-    fy = ly - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    fx = ((xx + 0.5) / s - 0.5) % 1.0
+    fy = ((yy + 0.5) / s - 0.5) % 1.0
 
-    sum_c = jnp.zeros(hi_depth.shape + (low_c.shape[-1],), low_c.dtype)
+    sum_c = jnp.zeros((H, W, low_c.shape[-1]), low_c.dtype)
     sum_w = jnp.zeros_like(hi_depth)
     for dy in range(2):
         for dx in range(2):
             wbil = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
-            c = gather_at(low_c, x0 + dx, y0 + dy)
-            n = gather_at(low_normal, x0 + dx, y0 + dy)
-            z = gather_at(low_depth, x0 + dx, y0 + dy)
+            c = tap_img(low_c, dy, dx)
+            n = tap_img(low_normal, dy, dx)
+            z = tap_img(low_depth, dy, dx)
             w = (
                 wbil
                 * normal_weight(hi_normal, n, 32.0)

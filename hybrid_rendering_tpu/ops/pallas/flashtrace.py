@@ -45,6 +45,9 @@ FEAT = 16  # 10 features padded to 16 lanes
 BIG_T = 3.0e38
 
 
+ATTR = 24  # per-tri attribute row: n0 n1 n2 (9) uv0..2 (6) mat mesh geo_n (5)
+
+
 class FlashScene(NamedTuple):
     """Per-scene constants for the flash tracer."""
 
@@ -53,9 +56,16 @@ class FlashScene(NamedTuple):
     center: jax.Array  # (3,) recentering offset
     num_tris: int
     num_tri_tiles: int
+    attrs: jax.Array = None  # (NTT*TRI_TILE, ATTR) per-tri attributes
 
 
-def make_flash_scene(tri_pos: jax.Array) -> FlashScene:
+def make_flash_scene(
+    tri_pos: jax.Array,
+    tri_normal=None,
+    tri_uv=None,
+    tri_mat=None,
+    tri_mesh=None,
+) -> FlashScene:
     """Precompute the (10 x 4T) triangle matrix, tiled and column-grouped
     per TRI_TILE block: block j holds [det cols | t cols | u cols | v cols]
     for triangles [j*TT, (j+1)*TT). Padded triangles are degenerate
@@ -104,9 +114,26 @@ def make_flash_scene(tri_pos: jax.Array) -> FlashScene:
     cluster_box = jnp.concatenate(
         [cmin, cmax, jnp.zeros((ntt, 2), jnp.float32)], axis=1
     )
+
+    attrs = None
+    if tri_normal is not None:
+        geo_n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12
+        )
+        tn = jnp.pad(jnp.asarray(tri_normal, jnp.float32).reshape(T, 9),
+                     ((0, t_pad - T), (0, 0)))
+        tu = jnp.pad(jnp.asarray(tri_uv, jnp.float32).reshape(T, 6),
+                     ((0, t_pad - T), (0, 0)))
+        tm_col = jnp.pad(jnp.asarray(tri_mat, jnp.float32)[:, None],
+                         ((0, t_pad - T), (0, 0)))
+        tmesh = jnp.pad(jnp.asarray(tri_mesh, jnp.float32)[:, None],
+                        ((0, t_pad - T), (0, 0)))
+        attrs = jnp.concatenate([tn, tu, tm_col, tmesh, geo_n], axis=1)
+        attrs = jnp.pad(attrs, ((0, 0), (0, ATTR - attrs.shape[1])))
+
     return FlashScene(
         trimat=jnp.asarray(trimat), cluster_box=cluster_box,
-        center=center, num_tris=T, num_tri_tiles=ntt,
+        center=center, num_tris=T, num_tri_tiles=ntt, attrs=attrs,
     )
 
 
@@ -140,7 +167,7 @@ def _ray_box_any(feats, box_ref, j, best_t, t_min):
 
 
 def _closest_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, best_ref,
-                    id_ref, *, t_min):
+                    id_ref, *, t_min, attr_ref=None, attr_out_ref=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -148,6 +175,8 @@ def _closest_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, best_ref,
         best_ref[:, 0:1] = tmax_ref[:]  # running best t starts at t_max
         best_ref[:, 1:3] = jnp.zeros_like(best_ref[:, 1:3])
         id_ref[:] = jnp.full_like(id_ref[:], -1)
+        if attr_out_ref is not None:
+            attr_out_ref[:] = jnp.zeros_like(attr_out_ref[:])
 
     # packet-level cluster culling: skip the whole (ray tile, tri tile)
     # step when no ray can hit this cluster closer than its current best
@@ -192,6 +221,17 @@ def _closest_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, best_ref,
         best_ref[:, 1:2] = jnp.where(improved, u_sel, best_ref[:, 1:2])
         best_ref[:, 2:3] = jnp.where(improved, v_sel, best_ref[:, 2:3])
         id_ref[:] = jnp.where(improved, j * TRI_TILE + first, id_ref[:])
+
+        if attr_out_ref is not None:
+            # fused surface fetch: select the winning triangle's attribute
+            # row with a one-hot matmul on the MXU (replaces the per-pixel
+            # XLA gathers of scene_descriptor_set-style tables, which run
+            # on the TPU scalar core at ~7 cycles/element)
+            sel_f = jnp.where(sel & improved, 1.0, 0.0)
+            attr_sel = jnp.dot(
+                sel_f, attr_ref[:], preferred_element_type=jnp.float32
+            )  # (RAY_TILE, ATTR)
+            attr_out_ref[:] = jnp.where(improved, attr_sel, attr_out_ref[:])
 
 
 def _anyhit_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, vis_ref, *, t_min):
@@ -240,11 +280,8 @@ def _pad_rays(x, r_pad, fill=0.0):
     return jnp.pad(x, pad_width, constant_values=fill)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_closest_hit(
-    fs: FlashScene, origin, direction, t_max, t_min=1e-3, interpret=False
-) -> Hit:
-    """Closest hit for a flat wavefront. origin/direction (R,3), t_max (R,)."""
+def _flash_closest_impl(fs: FlashScene, origin, direction, t_max, t_min,
+                        interpret, with_attrs):
     R = origin.shape[0]
     r_pad = max(RAY_TILE, -(-R // RAY_TILE) * RAY_TILE)
     feats = _pad_rays(_features(origin, direction, fs.center), r_pad)
@@ -253,38 +290,86 @@ def flash_closest_hit(
     )
 
     grid = (r_pad // RAY_TILE, fs.num_tri_tiles)
-    best, tid = pl.pallas_call(
-        functools.partial(_closest_kernel, t_min=t_min),
+    in_specs = [
+        pl.BlockSpec((RAY_TILE, FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (FEAT, 4 * TRI_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full cluster table
+    ]
+    out_specs = [
+        pl.BlockSpec((RAY_TILE, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+    ]
+    args = [feats, tmax, fs.trimat, fs.cluster_box]
+
+    if with_attrs:
+        in_specs.append(
+            pl.BlockSpec((TRI_TILE, ATTR), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_specs.append(
+            pl.BlockSpec((RAY_TILE, ATTR), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((r_pad, ATTR), jnp.float32))
+        args.append(fs.attrs)
+
+        def kernel(feats_r, tmax_r, trimat_r, box_r, attr_r, best_r, id_r,
+                   attro_r):
+            _closest_kernel(feats_r, tmax_r, trimat_r, box_r, best_r, id_r,
+                            t_min=t_min, attr_ref=attr_r, attr_out_ref=attro_r)
+    else:
+        kernel = functools.partial(_closest_kernel, t_min=t_min)
+
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((RAY_TILE, FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (FEAT, 4 * TRI_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full cluster table
-        ],
-        out_specs=[
-            pl.BlockSpec((RAY_TILE, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(feats, tmax, fs.trimat, fs.cluster_box)
+    )(*args)
+    best, tid = outs[0], outs[1]
 
     t = best[:R, 0]
     tid = tid[:R, 0]
     # rays that never improved keep t == t_max -> miss
     missed = tid < 0
-    return Hit(
+    hit = Hit(
         t=t,
         tri_id=jnp.where(missed, -1, jnp.minimum(tid, fs.num_tris - 1)),
         u=best[:R, 1],
         v=best[:R, 2],
     )
+    if with_attrs:
+        return hit, outs[2][:R]
+    return hit
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_closest_hit(
+    fs: FlashScene, origin, direction, t_max, t_min=1e-3, interpret=False
+) -> Hit:
+    """Closest hit for a flat wavefront. origin/direction (R,3), t_max (R,)."""
+    return _flash_closest_impl(fs, origin, direction, t_max, t_min,
+                               interpret, with_attrs=False)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_closest_hit_attrs(
+    fs: FlashScene, origin, direction, t_max, t_min=1e-3, interpret=False
+):
+    """Closest hit + fused surface-attribute fetch. Returns
+    (Hit, attrs (R, ATTR)) — attrs rows are the winning triangle's
+    [n0 n1 n2 | uv0 uv1 uv2 | mat_id mesh_id | geo_n | pad]."""
+    return _flash_closest_impl(fs, origin, direction, t_max, t_min,
+                               interpret, with_attrs=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

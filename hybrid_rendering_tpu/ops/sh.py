@@ -66,6 +66,45 @@ def eval_irradiance_sh9(coeffs, n):
     return jnp.maximum(e / np.pi, 0.0)
 
 
+def brdf_integrate_lut(size: int = 32, num_samples: int = 256, seed: int = 7):
+    """Preintegrated split-sum BRDF LUT (dw BRDFIntegrateLUT equivalent,
+    SURVEY §2.9) — Monte-Carlo over GGX half-vectors. Returns
+    (size, size, 2): [scale, bias] indexed by (ndotv, roughness).
+    deferred shading uses the analytic fit by default; this LUT is the
+    exact-parity option."""
+    import jax.numpy as jnp
+    from hybrid_rendering_tpu.ops import brdf as brdf_ops
+    from hybrid_rendering_tpu.ops.math3d import dot, normalize
+
+    rs = np.random.RandomState(seed)
+    xi = jnp.asarray(rs.uniform(size=(num_samples, 2)), jnp.float32)
+
+    ndotv = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    rough = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    NV, R = jnp.meshgrid(ndotv, rough, indexing="ij")  # (S,S)
+
+    v = jnp.stack([jnp.sqrt(1 - NV**2), jnp.zeros_like(NV), NV], -1)  # (S,S,3)
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), v.shape)
+
+    def accum(carry, x):
+        a_acc, b_acc = carry
+        xi2 = x
+        alpha = R * R
+        h = brdf_ops.sample_specular_ggx_lobe(n, alpha, jnp.broadcast_to(xi2, v.shape[:-1] + (2,)))
+        l = 2.0 * dot(v, h)[..., None] * h - v
+        nl = jnp.clip(l[..., 2], 0.0, 1.0)
+        nh = jnp.clip(h[..., 2], 0.0, 1.0)
+        vh = jnp.clip(dot(v, h), 0.0, 1.0)
+        valid = nl > 0
+        g = brdf_ops.g_schlick_ggx(nl, jnp.clip(NV, 1e-4, 1.0), R)
+        g_vis = jnp.where(valid, g * vh / jnp.maximum(nh * jnp.maximum(NV, 1e-4), 1e-6), 0.0)
+        fc = jnp.power(1.0 - vh, 5.0)
+        return (a_acc + (1 - fc) * g_vis, b_acc + fc * g_vis), None
+
+    (a, b), _ = jax.lax.scan(accum, (jnp.zeros_like(NV), jnp.zeros_like(NV)), xi)
+    return jnp.stack([a, b], -1) / num_samples
+
+
 def make_env_fallbacks(sky_radiance_fn, num_samples: int = 4096):
     """Returns (irradiance_fn(n), prefiltered_fn(dir, roughness))."""
     coeffs = project_sky_sh9(sky_radiance_fn, num_samples)

@@ -60,9 +60,10 @@ def path_trace_frame_sharded(
         origins, dirs = camera_utils.camera_rays_for_pixels(
             camera_, px, py, width, height
         )
-        closest, vis = bvh_mod.make_tracers(scene_)
+        closest_surface = bvh_mod.make_surface_tracer(scene_, method="bvh")
+        _, vis = bvh_mod.make_tracers(scene_, method="bvh")
         L = path_tracer.trace_wavefront(
-            scene_, closest, vis, light_, sky_.radiance,
+            scene_, closest_surface, vis, light_, sky_.radiance,
             origins.reshape(-1, 3), dirs.reshape(-1, 3), rng, cfg,
         ).reshape(rows, width, 3)
         # running-mean accumulate (reference rgen:94-111)

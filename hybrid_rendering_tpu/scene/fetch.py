@@ -6,10 +6,62 @@ material fetch). Gathers from the flat scene arrays by triangle id.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hybrid_rendering_tpu.ops.math3d import normalize
 from hybrid_rendering_tpu.types import Hit, SceneArrays, Surface
+
+
+def take_rows_onehot(table, idx):
+    """Row lookup from a SMALL table via one-hot matmul (MXU) — avoids the
+    TPU scalar-core gather path entirely. table (M, ...) with M <= ~64."""
+    M = table.shape[0]
+    flat = table.reshape(M, -1).astype(jnp.float32)
+    onehot = jax.nn.one_hot(idx, M, dtype=jnp.float32)
+    out = onehot @ flat
+    return out.reshape(idx.shape + table.shape[1:])
+
+
+def surface_from_attrs(scene: SceneArrays, origin, direction, hit: Hit,
+                       attrs) -> Surface:
+    """Build a Surface from the FlashTrace fused-attribute output
+    (ops/pallas/flashtrace.py ATTR layout) — gather-free: positions come
+    from o + t*d, vertex attributes were selected in-kernel, and material
+    constants use a one-hot matmul over the small material table."""
+    w = (1.0 - hit.u - hit.v)[..., None]
+    u = hit.u[..., None]
+    v = hit.v[..., None]
+    n0, n1, n2 = attrs[..., 0:3], attrs[..., 3:6], attrs[..., 6:9]
+    normal = normalize(w * n0 + u * n1 + v * n2)
+    uv = w[..., :1] * attrs[..., 9:11] + u[..., :1] * attrs[..., 11:13] \
+        + v[..., :1] * attrs[..., 13:15]
+    mat_id = jnp.round(attrs[..., 15]).astype(jnp.int32)
+    mesh_id = jnp.round(attrs[..., 16]).astype(jnp.int32)
+    geo_n = attrs[..., 17:20]
+    geo_n = jnp.where(
+        (jnp.sum(geo_n * direction, axis=-1) > 0.0)[..., None], -geo_n, geo_n
+    )
+    normal = jnp.where(
+        (jnp.sum(normal * geo_n, axis=-1) < 0.0)[..., None], -normal, normal
+    )
+    position = origin + hit.t[..., None] * direction
+
+    mats = scene.materials
+    valid = hit.valid
+    mat_id = jnp.where(valid, mat_id, 0)
+    return Surface(
+        position=position,
+        normal=normal,
+        geo_normal=geo_n,
+        uv=uv,
+        albedo=take_rows_onehot(mats.albedo, mat_id),
+        roughness=take_rows_onehot(mats.roughness[:, None], mat_id)[..., 0],
+        metallic=take_rows_onehot(mats.metallic[:, None], mat_id)[..., 0],
+        emissive=take_rows_onehot(mats.emissive, mat_id),
+        mesh_id=jnp.where(valid, mesh_id, -1),
+        mat_id=mat_id,
+    )
 
 
 def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:

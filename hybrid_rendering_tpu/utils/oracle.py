@@ -42,7 +42,7 @@ def render_ground_truth(
     GroundTruthPathTracer view, tone_map.cpp:122)."""
     cfg = PathTracerConfig(max_ray_bounces=max_bounces)
     state = path_tracer.render_progressive(
-        renderer.scene, renderer.closest_fn, renderer.visibility_fn,
+        renderer.scene, renderer.closest_surface_fn, renderer.visibility_fn,
         camera, light, renderer.sky_radiance_fn,
         renderer.config.width, renderer.config.height, spp, cfg,
     )

@@ -65,7 +65,8 @@ class TestDDGICore:
         # one tiny far-away triangle so the scene isn't empty
         b.add_instance(prim.plane(0.01, 0.01), m, translation(500, -500, 500))
         scene = b.build(use_bvh=True)
-        closest, vis = bvh_mod.make_tracers(scene)
+        closest, vis = (bvh_mod.make_surface_tracer(scene),
+                    bvh_mod.make_tracers(scene)[1])
         cfg = DDGIConfig(
             probe_distance=2.0, rays_per_probe=64, infinite_bounces=False,
             visibility_test=False,
@@ -99,7 +100,8 @@ class TestDDGICore:
         m = b.add_material(MaterialDef())
         b.add_instance(prim.box(10.0, 10.0, 0.5), m, translation(0, 0, -1.0))
         scene = b.build(use_bvh=True)
-        closest, vis = bvh_mod.make_tracers(scene)
+        closest, vis = (bvh_mod.make_surface_tracer(scene),
+                    bvh_mod.make_tracers(scene)[1])
         cfg = DDGIConfig(
             probe_distance=2.0, rays_per_probe=128, infinite_bounces=False
         )

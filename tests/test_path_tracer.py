@@ -30,7 +30,8 @@ class TestAnalyticOracle:
         radiance must equal (1-F(cos))*albedo/pi * cos(theta) * intensity
         + specular, approximately the diffuse term for rough surface."""
         scene = _lambert_plane_scene()
-        closest, vis = bvh_mod.make_tracers(scene)
+        closest, vis = (bvh_mod.make_surface_tracer(scene),
+                    bvh_mod.make_tracers(scene)[1])
         cam = cam_utils.make_camera(
             eye=(0.0, 10.0, 0.01), target=(0.0, 0.0, 0.0), width=8, height=8,
             fov_y_deg=30.0,
@@ -53,7 +54,8 @@ class TestAnalyticOracle:
 
     def test_sky_only_miss(self):
         scene = _lambert_plane_scene()
-        closest, vis = bvh_mod.make_tracers(scene)
+        closest, vis = (bvh_mod.make_surface_tracer(scene),
+                    bvh_mod.make_tracers(scene)[1])
         cam = cam_utils.make_camera(
             eye=(0.0, 5.0, 0.0), target=(0.0, 10.0, 0.1), width=4, height=4
         )
@@ -79,7 +81,8 @@ class TestAnalyticOracle:
 
         b.add_instance(prim.box(4.0, 0.5, 4.0), m, translation(0, 3.0, 0))
         scene = b.build(use_bvh=True)
-        closest, vis = bvh_mod.make_tracers(scene)
+        closest, vis = (bvh_mod.make_surface_tracer(scene),
+                    bvh_mod.make_tracers(scene)[1])
         cam = cam_utils.make_camera(
             eye=(0.0, 12.0, 10.0), target=(0.0, 0.0, 0.0), width=32, height=32
         )
@@ -120,7 +123,8 @@ class TestProgressive:
         """BASELINE configs[0]: Pillars scene, small res, 4 spp, runs on CPU
         and converges (variance between consecutive accumulations drops)."""
         scene, light, camkw = load_scene("shadows_test")
-        closest, vis = bvh_mod.make_tracers(scene)
+        closest, vis = (bvh_mod.make_surface_tracer(scene),
+                    bvh_mod.make_tracers(scene)[1])
         W = H = 64
         cam = cam_utils.make_camera(width=W, height=H, **camkw)
         sky = ConstantSky(color=jnp.asarray([0.2, 0.3, 0.45]))

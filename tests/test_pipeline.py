@@ -38,7 +38,7 @@ class TestGBuffer:
         from hybrid_rendering_tpu.models.gbuffer import render_gbuffer
 
         cam = r.make_camera(camkw["eye"], camkw["target"])
-        gb = render_gbuffer(r.scene, r.closest_fn, cam, 64, 64)
+        gb = render_gbuffer(r.scene, r.closest_surface_fn, cam, 64, 64)
         depth = np.asarray(gb.depth)
         mesh = np.asarray(gb.mesh_id)
         assert ((depth >= 0) & (depth <= 1)).all()
@@ -58,7 +58,7 @@ class TestGBuffer:
         cam1 = r.make_camera(
             eye2, camkw["target"], prev_view_proj=np.asarray(cam0.view_proj)
         )
-        gb = render_gbuffer(r.scene, r.closest_fn, cam1, 64, 64)
+        gb = render_gbuffer(r.scene, r.closest_surface_fn, cam1, 64, 64)
         mesh = np.asarray(gb.mesh_id)
         motion = np.asarray(gb.motion)
         assert np.abs(motion[mesh >= 0]).max() > 1e-3  # nonzero motion
@@ -70,7 +70,7 @@ class TestGBuffer:
         )
 
         cam = r.make_camera(camkw["eye"], camkw["target"])
-        gb = render_gbuffer(r.scene, r.closest_fn, cam, 64, 64)
+        gb = render_gbuffer(r.scene, r.closest_surface_fn, cam, 64, 64)
         gb_h = downsample_gbuffer(gb, 1)
         assert gb_h.depth.shape == (32, 32)
         assert gb_h.normal.shape == (32, 32, 3)
