@@ -81,14 +81,19 @@ def taa_resolve(
             best_depth = jnp.where(closer, nd, best_depth)
             best_motion = jnp.where(closer[..., None], nm, best_motion)
 
-    # history fetch at uv + motion (motion = prev - curr in uv units)
+    # history fetch at uv + motion (motion = prev - curr in uv units) —
+    # gather-free static-window warp (ops/warp.py); beyond-window pixels
+    # fall back to the current color (history reset, as on a cut)
     yy, xx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
     hx = xx + best_motion[..., 0] * W
     hy = yy + best_motion[..., 1] * H
-    history = filters.bilinear_gather(state.history, hx, hy)
+    from hybrid_rendering_tpu.ops import warp as warp_ops
+
+    history, hist_ok = warp_ops.warp_bilinear(state.history, hx, hy)
+    history = jnp.where(hist_ok[..., None], history, color)
 
     # rounded 3x3 neighborhood min/max/avg (box + cross blended)
     box_min = color

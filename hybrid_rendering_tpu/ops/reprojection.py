@@ -1,16 +1,22 @@
 """SVGF-style temporal reprojection with disocclusion tests.
 
 Behavioural twin of src/shaders/reprojection.glsl: motion-vector surface
-reprojection (plus virtual-point reprojection for reflections), four
-disocclusion tests (out-of-frame, mesh-id, plane-distance, normal), 4-tap
-validity-weighted bilinear history fetch with a 3x3 binary-weight fallback.
+reprojection (plus virtual-point reprojection for reflections), the four
+disocclusion tests (out-of-frame, mesh-id, plane-distance, normal), and a
+nearest-tap rescue replacing the 3x3 cross-bilateral fallback.
 
-Vectorized over the whole frame: each "texelFetch of a neighbor" becomes a
-gather of a stacked history tensor; validity logic is branch-free masks.
-One deliberate improvement: history world positions come from the stored
-previous-frame position plane (exact) instead of reconstructing prev depth
-with the *current* inverse view-proj as the reference does
-(reprojection.glsl:163, a small approximation under camera motion).
+TPU redesign: the per-tap texelFetches become a gather-free separable
+static-window warp (ops/warp.py) — XLA TPU gathers run on the scalar core
+(~15 ms per 1080p tap), while the warp is pure VPU shifts+selects.
+Semantic deltas vs the reference, both graceful:
+  - validity applies to the warped (bilinearly blended) history rather
+    than per bilinear tap (glsl:196-265 weights taps individually);
+  - displacement beyond the +-6 px window invalidates (treated as
+    disocclusion) instead of fetching far history — large camera jumps
+    restart accumulation, as a scene cut would.
+History world positions come from the stored previous-frame position plane
+(exact) instead of reconstructing prev depth with the *current* inverse
+view-proj as the reference does (reprojection.glsl:163).
 """
 from __future__ import annotations
 
@@ -19,7 +25,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from hybrid_rendering_tpu.ops import filters
+from hybrid_rendering_tpu.ops import warp as warp_ops
 from hybrid_rendering_tpu.types import Camera, GBuffer
 
 PLANE_DISTANCE = 5.0  # reprojection.glsl:7
@@ -51,13 +57,10 @@ def reproject(
     history: jax.Array,  # (H,W) or (H,W,C) previous-frame output
     history_moments: Optional[jax.Array] = None,  # (H,W,2)
     history_length: Optional[jax.Array] = None,  # (H,W)
-    reprojected_coord: Optional[tuple] = None,  # override (hx, hy) float pixel coords
-    fallback: bool = True,  # 3x3 cross-bilateral rescue taps (glsl:267-311)
+    reprojected_coord: Optional[tuple] = None,  # override (hx, hy) float coords
+    fallback: bool = True,  # nearest-tap rescue when bilinear fails
 ) -> ReprojectionResult:
-    """Reproject history into the current frame.
-
-    reprojected_coord overrides the surface motion-vector reprojection
-    (used by reflections' virtual-point reprojection)."""
+    """Reproject history into the current frame."""
     H, W = gb.depth.shape
     single = history.ndim == 2
     hist_c = history[..., None] if single else history
@@ -73,86 +76,47 @@ def reproject(
     else:
         hx, hy = reprojected_coord
 
-    x0f = jnp.floor(hx)
-    y0f = jnp.floor(hy)
-    fx = hx - x0f
-    fy = hy - y0f
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-
-    # stack everything gathered from the previous frame into one tensor so
-    # each tap is a single gather
     C = hist_c.shape[-1]
     mom = history_moments if history_moments is not None else jnp.zeros((H, W, 2))
     hlen = history_length if history_length is not None else jnp.zeros((H, W))
-    prev_stack = jnp.concatenate(
-        [
-            hist_c,  # 0:C
-            mom,  # C:C+2
-            hlen[..., None],  # C+2
-            prev_gb.normal,  # C+3 : C+6
-            prev_gb.position,  # C+6 : C+9
-            prev_gb.mesh_id.astype(jnp.float32)[..., None],  # C+9
-        ],
-        axis=-1,
+    # continuous planes warp bilinearly; ids + positions warp nearest
+    cont = jnp.concatenate([hist_c, mom, hlen[..., None], prev_gb.normal], -1)
+    ids = jnp.concatenate(
+        [prev_gb.position, prev_gb.mesh_id.astype(jnp.float32)[..., None]], -1
     )
 
-    def tap(ix, iy):
-        in_frame = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
-        vals = filters.gather_at(prev_stack, ix, iy)
-        prev_normal = vals[..., C + 3 : C + 6]
-        prev_pos = vals[..., C + 6 : C + 9]
-        prev_mesh = vals[..., C + 9].astype(jnp.int32)
-        ok = _disocclusion_valid(
-            gb.position, gb.normal, gb.mesh_id, prev_pos, prev_normal,
-            prev_mesh, in_frame,
+    bil, ok_b = warp_ops.warp_bilinear(cont, hx, hy)
+    near, ok_n = warp_ops.warp_nearest(
+        jnp.concatenate([cont, ids], -1), hx, hy
+    )
+
+    def validity(warped_normal, warped_pos, warped_mesh, in_frame):
+        return _disocclusion_valid(
+            gb.position, gb.normal, gb.mesh_id,
+            warped_pos, warped_normal, warped_mesh, in_frame,
         )
-        return vals, ok
 
-    # 4-tap bilinear with per-tap validity (reprojection.glsl:196-265)
-    sum_vals = jnp.zeros((H, W, prev_stack.shape[-1]))
-    sum_w = jnp.zeros((H, W))
-    any_valid = jnp.zeros((H, W), bool)
-    for dy in range(2):
-        for dx in range(2):
-            vals, ok = tap(x0 + dx, y0 + dy)
-            wb = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
-            w = jnp.where(ok, wb, 0.0)
-            sum_vals = sum_vals + vals * w[..., None]
-            sum_w = sum_w + w
-            any_valid = any_valid | ok
-    bil_valid = any_valid & (sum_w >= 0.01)
-    bil_vals = sum_vals / jnp.maximum(sum_w, 1e-8)[..., None]
+    prev_pos_n = near[..., C + 3 + 3 : C + 3 + 6]
+    prev_mesh_n = jnp.round(near[..., C + 3 + 6]).astype(jnp.int32)
 
-    # 3x3 binary-weight fallback around the rounded coord
-    # (reprojection.glsl:267-311)
-    hxr = (hx + 0.5).astype(jnp.int32)
-    hyr = (hy + 0.5).astype(jnp.int32)
+    bil_normal = bil[..., C + 3 : C + 6]
+    valid_b = validity(bil_normal, prev_pos_n, prev_mesh_n, ok_b)
+
+    near_normal = near[..., C + 3 : C + 6]
+    valid_n = validity(near_normal, prev_pos_n, prev_mesh_n, ok_n)
+
     if fallback:
-        fb_vals = jnp.zeros_like(sum_vals)
-        fb_cnt = jnp.zeros((H, W))
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                vals, ok = tap(hxr + dx, hyr + dy)
-                w = ok.astype(jnp.float32)
-                fb_vals = fb_vals + vals * w[..., None]
-                fb_cnt = fb_cnt + w
-        fb_valid = fb_cnt > 0
-        fb_vals = fb_vals / jnp.maximum(fb_cnt, 1e-8)[..., None]
-
-        use_fb = (~bil_valid) & fb_valid
-        valid = bil_valid | fb_valid
-        out = jnp.where(use_fb[..., None], fb_vals, bil_vals)
+        use_near = (~valid_b) & valid_n
+        valid = valid_b | valid_n
+        out = jnp.where(use_near[..., None], near[..., : C + 3], bil[..., : C + 3])
     else:
-        valid = bil_valid
-        out = bil_vals
+        valid = valid_b
+        out = bil[..., : C + 3]
     out = jnp.where(valid[..., None], out, 0.0)
 
     hist_out = out[..., :C]
     mom_out = out[..., C : C + 2] if history_moments is not None else None
-    # history length read at the nearest coord (reprojection.glsl:313-318)
-    hlen_tap = filters.gather_at(hlen, hxr, hyr)
-    hlen_out = jnp.where(valid, hlen_tap, 0.0)
+    hlen_out = jnp.where(valid, near[..., C + 2], 0.0)
 
     return ReprojectionResult(
         history=hist_out[..., 0] if single else hist_out,
