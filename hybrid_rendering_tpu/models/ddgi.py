@@ -257,6 +257,25 @@ def sample_irradiance(
     return 0.5 * jnp.pi * net
 
 
+def make_irradiance_sampler(grid: ProbeGrid, cfg: DDGIConfig):
+    """Returns sample(state, p, n, wo) -> (...,3). On TPU backends this is
+    the tile-windowed Pallas kernel (ops/pallas/ddgi_sample.py: zero
+    gathers); elsewhere the reference-faithful XLA version."""
+    from hybrid_rendering_tpu.ops.bvh import _is_tpu_backend
+
+    if _is_tpu_backend():
+        from hybrid_rendering_tpu.ops.pallas.ddgi_sample import (
+            make_fast_sampler,
+        )
+
+        return make_fast_sampler(grid, cfg, interpret=False)
+
+    def sample(state, p, n, wo):
+        return sample_irradiance(grid, state, cfg, p, n, wo)
+
+    return sample
+
+
 # ---------------------------------------------------------------------------
 # Per-frame update
 # ---------------------------------------------------------------------------
@@ -311,6 +330,7 @@ def ddgi_update(
     sky_radiance_fn: Callable,
     frame_index,
     cfg: DDGIConfig,
+    sampler=None,  # make_irradiance_sampler product (fast path on TPU)
 ):
     """One DDGI frame: ray trace + irradiance/depth probe update
     (ddgi.cpp:89-104). Returns new DDGIState."""
@@ -348,9 +368,12 @@ def ddgi_update(
     # infinite bounces from the previous frame's grid (rchit:123-124,
     # gated on first frame, ddgi.cpp:790)
     if cfg.infinite_bounces:
-        bounce = sample_irradiance(
-            grid, state, cfg, surf.position, surf.normal, -d
-        )
+        if sampler is not None:
+            bounce = sampler(state, surf.position, surf.normal, -d)
+        else:
+            bounce = sample_irradiance(
+                grid, state, cfg, surf.position, surf.normal, -d
+            )
         gate = (state.first_frame == 0).astype(jnp.float32)
         radiance = radiance + (
             c_diff * bounce * cfg.infinite_bounce_intensity * gate
@@ -404,10 +427,14 @@ def sample_probe_grid_screen(
     cfg: DDGIConfig,
     gb: GBuffer,
     camera_position: jax.Array,
+    sampler=None,
 ):
     """Full-screen indirect-diffuse texture (gi_sample_probe_grid.comp:
     75-99) consumed by deferred shading."""
     wo = normalize(camera_position - gb.position)
-    irr = sample_irradiance(grid, state, cfg, gb.position, gb.normal, wo)
+    if sampler is not None:
+        irr = sampler(state, gb.position, gb.normal, wo)
+    else:
+        irr = sample_irradiance(grid, state, cfg, gb.position, gb.normal, wo)
     irr = irr * cfg.gi_intensity
     return jnp.where((gb.mesh_id >= 0)[..., None], irr, 0.0)

@@ -87,6 +87,9 @@ class HybridRenderer:
         self.probe_grid = ddgi_mod.make_probe_grid(
             _np.asarray(lo), _np.asarray(hi), config.ddgi
         )
+        self.gi_sampler = ddgi_mod.make_irradiance_sampler(
+            self.probe_grid, config.ddgi
+        )
 
     # ------------------------------------------------------------------
     def create_state(self) -> RenderState:
@@ -184,17 +187,16 @@ class HybridRenderer:
             ddgi_state = ddgi_mod.ddgi_update(
                 self.scene, self.closest_surface_fn, self.visibility_fn,
                 self.probe_grid, state.ddgi, light, self.sky_radiance_fn,
-                state.frame_index, cfg.ddgi,
+                state.frame_index, cfg.ddgi, sampler=self.gi_sampler,
             )
 
             def gi_sample_fn(p, n, wo, _st=ddgi_state):
-                return ddgi_mod.sample_irradiance(
-                    self.probe_grid, _st, cfg.ddgi, p, n, wo
-                )
+                return self.gi_sampler(_st, p, n, wo)
 
             gb_g = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ddgi.scale))
             gi_low = ddgi_mod.sample_probe_grid_screen(
-                self.probe_grid, ddgi_state, cfg.ddgi, gb_g, camera.position
+                self.probe_grid, ddgi_state, cfg.ddgi, gb_g, camera.position,
+                sampler=self.gi_sampler,
             )
             if cfg.ddgi.scale != 0:
                 from hybrid_rendering_tpu.ops import filters as _filters

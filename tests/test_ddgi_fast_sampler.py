@@ -1,0 +1,74 @@
+"""Pallas DDGI sampler (interpret mode) vs the XLA reference sampler."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hybrid_rendering_tpu.config import DDGIConfig
+from hybrid_rendering_tpu.models import ddgi as ddgi_mod
+from hybrid_rendering_tpu.ops.pallas.ddgi_sample import make_fast_sampler
+
+
+def _setup(seed=0, visibility=True):
+    cfg = DDGIConfig(probe_distance=2.0, visibility_test=visibility)
+    grid = ddgi_mod.make_probe_grid([-3, 0, -3], [3, 4, 3], cfg)
+    rs = np.random.RandomState(seed)
+    P = grid.num_probes
+    state = ddgi_mod.DDGIState.create(P, cfg)
+    state = state.replace(
+        irradiance=jnp.asarray(
+            rs.uniform(0.0, 1.0, size=state.irradiance.shape), jnp.float32
+        ),
+        depth=jnp.asarray(
+            np.stack(
+                [
+                    rs.uniform(0.5, 3.0, size=state.depth.shape[:-1]),
+                    rs.uniform(1.0, 9.0, size=state.depth.shape[:-1]),
+                ],
+                -1,
+            ),
+            jnp.float32,
+        ),
+        first_frame=jnp.int32(0),
+    )
+    return cfg, grid, state
+
+
+@pytest.mark.parametrize("visibility", [False, True])
+def test_fast_matches_reference_coherent_points(visibility):
+    """Coherent point tiles (same probe cell): fast kernel must match the
+    reference sampler closely."""
+    cfg, grid, state = _setup(visibility=visibility)
+    rs = np.random.RandomState(1)
+    # 256 points inside one probe cell (plus jitter into neighbors)
+    center = np.asarray([0.3, 1.2, -0.4])
+    p = (center + rs.uniform(-0.9, 0.9, size=(256, 3))).astype(np.float32)
+    n = rs.normal(size=(256, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    wo = rs.normal(size=(256, 3)).astype(np.float32)
+    wo /= np.linalg.norm(wo, axis=1, keepdims=True)
+
+    ref = np.asarray(
+        ddgi_mod.sample_irradiance(
+            grid, state, cfg, jnp.asarray(p), jnp.asarray(n), jnp.asarray(wo)
+        )
+    )
+    fast_fn = make_fast_sampler(grid, cfg, interpret=True)
+    fast = np.asarray(fast_fn(state, jnp.asarray(p), jnp.asarray(n),
+                              jnp.asarray(wo)))
+    assert np.isfinite(fast).all()
+    # identical math, so should agree tightly where the cage fits in window
+    err = np.abs(fast - ref) / (np.abs(ref) + 1e-3)
+    assert np.median(err) < 1e-3
+    assert (err < 0.05).mean() > 0.95  # allow a few window-clamped outliers
+
+
+def test_fast_image_shaped_input():
+    cfg, grid, state = _setup(visibility=False)
+    rs = np.random.RandomState(2)
+    H = W = 16
+    p = jnp.asarray(rs.uniform(-2, 2, size=(H, W, 3)), jnp.float32)
+    n = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (H, W, 3))
+    fast_fn = make_fast_sampler(grid, cfg, interpret=True)
+    out = fast_fn(state, p, n, n)
+    assert out.shape == (H, W, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -19,7 +19,7 @@ def main():
 
     H, W = 1080, 1920
     scene, light, camkw = load_scene("shadows_test", use_bvh=False)
-    closest, vis = bvh_mod.make_tracers(scene)
+    closest = bvh_mod.make_surface_tracer(scene)
     cam = cam_utils.make_camera(width=W, height=H, **camkw)
 
     @jax.jit
