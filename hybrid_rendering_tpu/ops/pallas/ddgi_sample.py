@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_PTS = 256
-W_PROBES = 32  # 27 window probes padded to 32 rows
+W_PROBES = 144  # 3x3 (y,z) window rows x 16-probe aligned x-runs
 
 
 def _sign_not_zero(v):
@@ -101,23 +101,42 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
     DEP_LANES = dep_side * dep_side * 2
 
     def kernel(bases_ref, pts_ref, irr_ref, dep_ref, icol_ref, dcol_ref,
-               out_ref, sc_irr, sc_dep):
+               out_ref, sc_irr, sc_dep, sems):
         t = pl.program_id(0)
         bx = bases_ref[t, 0]
         by = bases_ref[t, 1]
         bz = bases_ref[t, 2]
 
-        # copy the 3x3x3 probe window into scratch (pad rows stay zero)
-        sc_irr[27:W_PROBES, :] = jnp.zeros((W_PROBES - 27, IRR_LANES),
-                                           jnp.float32)
-        sc_dep[27:W_PROBES, :] = jnp.zeros((W_PROBES - 27, DEP_LANES),
-                                           jnp.float32)
+        # DMA the probe window into scratch: per (y,z) window row, copy a
+        # 16-probe x-run starting at an 8-ALIGNED row (Mosaic requires
+        # provably 8-aligned dynamic offsets even for DMAs); the up-to-7-row
+        # remainder is folded into the per-pixel window index below. The
+        # atlas is padded by 16 rows so runs never overrun.
+        copies = []
+        idx = 0
         for z in range(3):
             for y in range(3):
                 row = bx + (by + y) * Px + (bz + z) * Pxy
-                k = (z * 3 + y) * 3
-                sc_irr[pl.ds(k, 3), :] = irr_ref[pl.ds(row, 3), :]
-                sc_dep[pl.ds(k, 3), :] = dep_ref[pl.ds(row, 3), :]
+                row_al = pl.multiple_of((row // 8) * 8, 8)
+                k = (z * 3 + y) * 16
+                c1 = pltpu.make_async_copy(
+                    irr_ref.at[pl.ds(row_al, 16), :],
+                    sc_irr.at[pl.ds(k, 16), :],
+                    sems.at[idx],
+                )
+                c1.start()
+                copies.append(c1)
+                idx += 1
+                c2 = pltpu.make_async_copy(
+                    dep_ref.at[pl.ds(row_al, 16), :],
+                    sc_dep.at[pl.ds(k, 16), :],
+                    sems.at[idx],
+                )
+                c2.start()
+                copies.append(c2)
+                idx += 1
+        for c in copies:
+            c.wait()
 
         pts = pts_ref[:]
         px_, py_, pz_ = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -166,7 +185,11 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
             cx = bx + wcx
             cy = by + wcy
             cz = bz + wcz
-            widx = wcx + wcy * 3 + wcz * 9
+            # window row (y,z) occupies 16 scratch rows starting at
+            # (z*3+y)*16; the probe sits at wcx + (rowbase % 8) inside its
+            # 8-aligned 16-row run
+            rowbase = bx + (by + wcy) * Px + (bz + wcz) * Pxy
+            widx = wcx + (rowbase % 8) + (wcy + wcz * 3) * 16
 
             ppx = s0 + cx.astype(jnp.float32) * st0
             ppy = s1 + cy.astype(jnp.float32) * st1
@@ -254,8 +277,8 @@ def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
         in_specs=[
             pl.BlockSpec((TILE_PTS, 16), lambda t, b: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # irr atlas, whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # dep atlas, whole
+            pl.BlockSpec(memory_space=pltpu.ANY),  # irr atlas (HBM, DMA'd)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dep atlas (HBM, DMA'd)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # irr channel collector
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dep channel collector
         ],
@@ -264,6 +287,7 @@ def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
         scratch_shapes=[
             pltpu.VMEM((W_PROBES, IRR_LANES), jnp.float32),
             pltpu.VMEM((W_PROBES, DEP_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((18,)),
         ],
     )
     out = pl.pallas_call(
@@ -337,8 +361,8 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         bases = jnp.clip(tiles.min(axis=1), 0, jnp.maximum(countsv - 3, 0))
 
         P = state.irradiance.shape[0]
-        irr_flat = state.irradiance.reshape(P, -1)
-        dep_flat = state.depth.reshape(P, -1)
+        irr_flat = jnp.pad(state.irradiance.reshape(P, -1), ((0, 16), (0, 0)))
+        dep_flat = jnp.pad(state.depth.reshape(P, -1), ((0, 16), (0, 0)))
         out = _sample_tiles(
             bases, pts, irr_flat, dep_flat, icol, dcol,
             grid_counts=counts, grid_start=start, grid_step=step,
