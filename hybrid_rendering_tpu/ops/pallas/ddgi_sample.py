@@ -97,8 +97,10 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
     s0, s1, s2 = (float(v) for v in grid_start)
     st0, st1, st2 = (float(v) for v in grid_step)
     (normal_bias, energy_preservation, visibility_test, gi_scale) = cfg_vals
-    IRR_LANES = irr_side * irr_side * 3
-    DEP_LANES = dep_side * dep_side * 2
+    # lane widths padded to multiples of 128 (Mosaic DMA tiling); padded
+    # lanes are never selected (texel masks cover lane//3 <= side^2-1)
+    IRR_LANES = -(-(irr_side * irr_side * 3) // 128) * 128
+    DEP_LANES = -(-(dep_side * dep_side * 2) // 128) * 128
 
     def kernel(bases_ref, pts_ref, irr_ref, dep_ref, icol_ref, dcol_ref,
                out_ref, sc_irr, sc_dep, sems):
@@ -300,13 +302,13 @@ def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
 
 
 def _collectors(irr_side, dep_side):
-    IRR_LANES = irr_side * irr_side * 3
-    DEP_LANES = dep_side * dep_side * 2
+    IRR_LANES = -(-(irr_side * irr_side * 3) // 128) * 128
+    DEP_LANES = -(-(dep_side * dep_side * 2) // 128) * 128
     icol = np.zeros((IRR_LANES, 8), np.float32)
-    for l in range(IRR_LANES):
+    for l in range(irr_side * irr_side * 3):
         icol[l, l % 3] = 1.0
     dcol = np.zeros((DEP_LANES, 8), np.float32)
-    for l in range(DEP_LANES):
+    for l in range(dep_side * dep_side * 2):
         dcol[l, l % 2] = 1.0
     return jnp.asarray(icol), jnp.asarray(dcol)
 
@@ -361,8 +363,16 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         bases = jnp.clip(tiles.min(axis=1), 0, jnp.maximum(countsv - 3, 0))
 
         P = state.irradiance.shape[0]
-        irr_flat = jnp.pad(state.irradiance.reshape(P, -1), ((0, 16), (0, 0)))
-        dep_flat = jnp.pad(state.depth.reshape(P, -1), ((0, 16), (0, 0)))
+        irr_lanes = -(-(state.irradiance.shape[1] ** 2 * 3) // 128) * 128
+        dep_lanes = -(-(state.depth.shape[1] ** 2 * 2) // 128) * 128
+        irr_flat = state.irradiance.reshape(P, -1)
+        dep_flat = state.depth.reshape(P, -1)
+        irr_flat = jnp.pad(
+            irr_flat, ((0, 16), (0, irr_lanes - irr_flat.shape[1]))
+        )
+        dep_flat = jnp.pad(
+            dep_flat, ((0, 16), (0, dep_lanes - dep_flat.shape[1]))
+        )
         out = _sample_tiles(
             bases, pts, irr_flat, dep_flat, icol, dcol,
             grid_counts=counts, grid_start=start, grid_step=step,
