@@ -48,7 +48,10 @@ def main():
 
     step = jax.jit(r.render_frame, donate_argnums=(0,))
     state = r.create_state()
-    cam = r.make_camera(camkw["eye"], camkw["target"], 0)
+    # pre-stage per-frame inputs on device: through the remote tunnel a
+    # host->device upload costs ~100 ms of latency per frame otherwise
+    cam = jax.device_put(r.make_camera(camkw["eye"], camkw["target"], 0))
+    light = jax.device_put(light)
 
     t0 = time.perf_counter()
     outputs, state = step(state, cam, light)

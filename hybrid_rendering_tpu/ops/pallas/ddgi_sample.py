@@ -159,8 +159,8 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
         biasy = (ny + 3.0 * woy) * normal_bias
         biasz = (nz + 3.0 * woz) * normal_bias
 
-        sum_irr = jnp.zeros((TILE_PTS, 8), jnp.float32)
         sum_w = jnp.zeros((TILE_PTS,), jnp.float32)
+        multi_hot = jnp.zeros((TILE_PTS, W_PROBES), jnp.float32)
 
         lane_irr = jax.lax.broadcasted_iota(jnp.int32, (TILE_PTS, IRR_LANES), 1)
         lane_dep = jax.lax.broadcasted_iota(jnp.int32, (TILE_PTS, DEP_LANES), 1)
@@ -216,9 +216,7 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
             cosw = (tdx * nx + tdy * ny + tdz * nz) / td_len
             wgt = jnp.square(jnp.maximum(1e-4, (cosw + 1.0) * 0.5)) + 0.2
 
-            oh = jnp.where(probe_iota == widx[:, None], 1.0, 0.0)  # (256,32)
-            irr_rows = jnp.dot(oh, sc_irr[:],
-                               preferred_element_type=jnp.float32)
+            oh = jnp.where(probe_iota == widx[:, None], 1.0, 0.0)  # (256,W)
 
             if visibility_test:
                 dep_rows = jnp.dot(oh, sc_dep[:],
@@ -247,15 +245,22 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
             wgt = jnp.where(wgt < crush, wgt * wgt * wgt / (crush * crush), wgt)
             wgt = wgt * tri_w
 
-            isel = jnp.dot(irr_rows * mask_i, icol_ref[:],
-                           preferred_element_type=jnp.float32)  # (256,8)
-            probe_irr = jnp.sqrt(jnp.maximum(isel, 0.0))  # LINEAR_BLENDING==0
-
-            sum_irr = sum_irr + probe_irr * wgt[:, None]
+            # accumulate the corner's probe selection weighted by wgt —
+            # the irradiance atlas is stored in sqrt space, so the 8
+            # per-corner (one-hot @ atlas) dots collapse into ONE weighted
+            # multi-hot dot after the loop (bilinear-of-sqrt == the
+            # reference's perceptual sqrt blending, gi_common.glsl:299-316)
+            multi_hot = multi_hot + oh * wgt[:, None]
             sum_w = sum_w + wgt
 
+        rows_mix = jnp.dot(multi_hot, sc_irr[:],
+                           preferred_element_type=jnp.float32)
+        sum_irr = jnp.dot(rows_mix * mask_i, icol_ref[:],
+                          preferred_element_type=jnp.float32)  # (256,8)
         net = sum_irr / jnp.maximum(sum_w, 1e-9)[:, None]
-        out_ref[:, :] = jnp.square(net) * (energy_preservation * gi_scale)
+        out_ref[:, :] = jnp.square(jnp.maximum(net, 0.0)) * (
+            energy_preservation * gi_scale
+        )
 
     return kernel
 
@@ -328,7 +333,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         0.5 * float(np.pi),
     )
     icol, dcol = _collectors(int(cfg.irradiance_oct_size),
-                             int(cfg.depth_oct_size))
+                             min(int(cfg.depth_oct_size), 8))
 
     def sample(state, p, n, wo):
         shape = p.shape[:-1]
@@ -363,10 +368,17 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         bases = jnp.clip(tiles.min(axis=1), 0, jnp.maximum(countsv - 3, 0))
 
         P = state.irradiance.shape[0]
-        irr_lanes = -(-(state.irradiance.shape[1] ** 2 * 3) // 128) * 128
-        dep_lanes = -(-(state.depth.shape[1] ** 2 * 2) // 128) * 128
-        irr_flat = state.irradiance.reshape(P, -1)
-        dep_flat = state.depth.reshape(P, -1)
+        # irradiance in sqrt space (lets the kernel collapse the 8 corner
+        # dots into one); depth downsampled to 8x8 (halves the biggest dot)
+        irr_flat = jnp.sqrt(jnp.maximum(state.irradiance, 0.0)).reshape(P, -1)
+        dside = state.depth.shape[1]
+        dep = state.depth
+        if dside > 8:
+            f = dside // 8
+            dep = dep.reshape(P, 8, f, 8, f, 2).mean(axis=(2, 4))
+        dep_flat = dep.reshape(P, -1)
+        irr_lanes = -(-irr_flat.shape[1] // 128) * 128
+        dep_lanes = -(-dep_flat.shape[1] // 128) * 128
         irr_flat = jnp.pad(
             irr_flat, ((0, 16), (0, irr_lanes - irr_flat.shape[1]))
         )
@@ -378,7 +390,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
             grid_counts=counts, grid_start=start, grid_step=step,
             cfg_vals=cfg_vals,
             irr_side=int(cfg.irradiance_oct_size),
-            dep_side=int(cfg.depth_oct_size),
+            dep_side=min(int(cfg.depth_oct_size), 8),
             interpret=interpret,
         )
         out = out[:N]

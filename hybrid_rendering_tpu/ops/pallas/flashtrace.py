@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from hybrid_rendering_tpu.types import Hit
 
 RAY_TILE = 256  # rays per grid step (sublane-friendly: 2x(8,128) f32)
-TRI_TILE = 512  # triangles per grid step -> (10,2048) operand, (256,2048) product
+TRI_TILE = 512  # triangles per grid step; tune vs cluster-culling granularity
+
 FEAT = 16  # 10 features padded to 16 lanes
 BIG_T = 3.0e38
 
