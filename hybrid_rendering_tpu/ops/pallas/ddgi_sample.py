@@ -240,8 +240,7 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
             oh = jnp.where(probe_iota == widx[:, None], 1.0, 0.0)  # (256,W)
 
             if visibility_test:
-                dep_rows = jnp.dot(oh, sc_dep[:],
-                                   preferred_element_type=jnp.float32)
+                dep_rows = jnp.dot(oh, sc_dep[:], preferred_element_type=jnp.float32)
                 # bilinear depth taps toward the probe (dir = ptp normalized)
                 taps_d = _oct_texel_taps_cols(
                     ptpx / dist, ptpy / dist, ptpz / dist, dep_side

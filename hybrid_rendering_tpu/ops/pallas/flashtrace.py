@@ -187,7 +187,8 @@ def _closest_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, best_ref,
     @pl.when(_ray_box_any(feats, box_ref, j, best_t0, t_min))
     def _work():
         prod = jnp.dot(
-            feats, trimat_ref[:], preferred_element_type=jnp.float32
+            feats, trimat_ref[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (RAY_TILE, 4*TRI_TILE) grouped [det | t | u | v]
         det = prod[:, 0 * TRI_TILE : 1 * TRI_TILE]
         tn = prod[:, 1 * TRI_TILE : 2 * TRI_TILE]
@@ -230,7 +231,8 @@ def _closest_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, best_ref,
             # on the TPU scalar core at ~7 cycles/element)
             sel_f = jnp.where(sel & improved, 1.0, 0.0)
             attr_sel = jnp.dot(
-                sel_f, attr_ref[:], preferred_element_type=jnp.float32
+                sel_f, attr_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (RAY_TILE, ATTR)
             attr_out_ref[:] = jnp.where(improved, attr_sel, attr_out_ref[:])
 
@@ -251,7 +253,8 @@ def _anyhit_kernel(feats_ref, tmax_ref, trimat_ref, box_ref, vis_ref, *, t_min):
     @pl.when(_ray_box_any(feats, box_ref, j, live_budget, t_min))
     def _work():
         prod = jnp.dot(
-            feats, trimat_ref[:], preferred_element_type=jnp.float32
+            feats, trimat_ref[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         det = prod[:, 0 * TRI_TILE : 1 * TRI_TILE]
         tn = prod[:, 1 * TRI_TILE : 2 * TRI_TILE]

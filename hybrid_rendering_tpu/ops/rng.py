@@ -42,11 +42,21 @@ def wang_hash(seed: Array) -> Array:
 
 
 def rng_init(pixel_id_x: Array, pixel_id_y: Array, frame_index) -> RNG:
-    """Seed per-pixel streams (reference random.glsl:41-53)."""
+    """Seed per-pixel streams.
+
+    The reference seeds s0 = hash(pixel), s1 = hash(frame)
+    (random.glsl:41-53) — with s1 pixel-independent, the first samples of a
+    frame correlate across the screen and progressive accumulation shows
+    ring banding (one ring per frame around punctual lights). Here the
+    frame hash is mixed into BOTH lanes per pixel, which removes the
+    artifact while keeping the same xoroshiro64* generator."""
     x = jnp.asarray(pixel_id_x, _U32)
     y = jnp.asarray(pixel_id_y, _U32)
-    s0 = wang_hash((x << _U32(16)) | y)
-    s1 = wang_hash(jnp.broadcast_to(jnp.asarray(frame_index, _U32), x.shape))
+    f = jnp.broadcast_to(jnp.asarray(frame_index, _U32), x.shape)
+    pix = wang_hash((x << _U32(16)) | y)
+    fh = wang_hash(f + _U32(0x9E3779B9))
+    s0 = wang_hash(pix ^ fh)
+    s1 = wang_hash(pix + fh * _U32(0x85EBCA6B))
     rng = RNG(s0=s0, s1=s1)
     rng, _ = next_uint(rng)
     return rng

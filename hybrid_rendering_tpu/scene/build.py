@@ -24,6 +24,8 @@ class MaterialDef:
     roughness: float = 0.5
     metallic: float = 0.0
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    albedo_tex: int = -1  # AtlasBuilder texture index (multiplies albedo,
+    #                        matching glTF baseColorFactor x texture)
 
 
 def translation(x, y, z) -> np.ndarray:
@@ -54,6 +56,8 @@ def rotation_x(angle_rad) -> np.ndarray:
 
 class SceneBuilder:
     def __init__(self):
+        from hybrid_rendering_tpu.scene.textures import AtlasBuilder
+
         self._tri_pos: List[np.ndarray] = []
         self._tri_nrm: List[np.ndarray] = []
         self._tri_uv: List[np.ndarray] = []
@@ -61,6 +65,12 @@ class SceneBuilder:
         self._tri_mesh: List[np.ndarray] = []
         self._materials: List[MaterialDef] = []
         self._next_mesh_id = 0
+        self._atlas = AtlasBuilder()
+
+    def add_texture(self, img) -> int:
+        """Register a texture image; reference it from
+        MaterialDef.albedo_tex."""
+        return self._atlas.add(img)
 
     def add_material(self, mat: MaterialDef) -> int:
         self._materials.append(mat)
@@ -101,7 +111,11 @@ class SceneBuilder:
             roughness=jnp.asarray([m.roughness for m in self._materials], jnp.float32),
             metallic=jnp.asarray([m.metallic for m in self._materials], jnp.float32),
             emissive=jnp.asarray([m.emissive for m in self._materials], jnp.float32),
+            albedo_tex=jnp.asarray(
+                [m.albedo_tex for m in self._materials], jnp.int32
+            ),
         )
+        atlas = self._atlas.build()
 
         bvh_kw = {}
         if use_bvh:
@@ -136,5 +150,6 @@ class SceneBuilder:
             tri_mat=jnp.asarray(tri_mat),
             tri_mesh_id=jnp.asarray(tri_mesh),
             materials=mats,
+            atlas=atlas,
             **bvh_kw,
         )

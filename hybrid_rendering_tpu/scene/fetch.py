@@ -50,18 +50,38 @@ def surface_from_attrs(scene: SceneArrays, origin, direction, hit: Hit,
     mats = scene.materials
     valid = hit.valid
     mat_id = jnp.where(valid, mat_id, 0)
+    albedo = take_rows_onehot(mats.albedo, mat_id)
+    albedo = _apply_albedo_texture(scene, albedo, mat_id, uv, valid)
     return Surface(
         position=position,
         normal=normal,
         geo_normal=geo_n,
         uv=uv,
-        albedo=take_rows_onehot(mats.albedo, mat_id),
+        albedo=albedo,
         roughness=take_rows_onehot(mats.roughness[:, None], mat_id)[..., 0],
         metallic=take_rows_onehot(mats.metallic[:, None], mat_id)[..., 0],
         emissive=take_rows_onehot(mats.emissive, mat_id),
         mesh_id=jnp.where(valid, mesh_id, -1),
         mat_id=mat_id,
     )
+
+
+def _apply_albedo_texture(scene, albedo, mat_id, uv, valid):
+    """albedo *= atlas sample (glTF-style factor x texture; reference
+    fetch_albedo, scene_descriptor_set.glsl:180-196). No-op for untextured
+    scenes."""
+    mats = scene.materials
+    if scene.atlas is None or mats.albedo_tex is None:
+        return albedo
+    from hybrid_rendering_tpu.scene.textures import sample_atlas
+
+    tex_idx = jnp.round(
+        take_rows_onehot(
+            mats.albedo_tex.astype(jnp.float32)[:, None], mat_id
+        )[..., 0]
+    ).astype(jnp.int32)
+    tex = sample_atlas(scene.atlas, tex_idx, uv, valid=valid)
+    return albedo * tex[..., :3]
 
 
 def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
@@ -98,12 +118,14 @@ def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
 
     mat_id = take_rows(scene.tri_mat, tid)
     mats = scene.materials
+    albedo = take_rows(mats.albedo, mat_id)
+    albedo = _apply_albedo_texture(scene, albedo, mat_id, uv, hit.valid)
     return Surface(
         position=position,
         normal=normal,
         geo_normal=geo_n,
         uv=uv,
-        albedo=take_rows(mats.albedo, mat_id),
+        albedo=albedo,
         roughness=take_rows(mats.roughness, mat_id),
         metallic=take_rows(mats.metallic, mat_id),
         emissive=take_rows(mats.emissive, mat_id),

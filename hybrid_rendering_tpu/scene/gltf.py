@@ -3,9 +3,8 @@
 Replaces the Assimp path of dw::Mesh (SURVEY §2.9: `load()` for gltf/obj).
 Pure Python (json + struct + numpy): meshes with POSITION / NORMAL /
 TEXCOORD_0 + indices, node transforms flattened to world space, and PBR
-metallic-roughness material factors mapped onto MaterialDef. Textures
-become their baseColorFactor for now (texture atlas sampling lands with
-the texture subsystem).
+metallic-roughness material factors mapped onto MaterialDef; PNG
+baseColorTextures decode (utils/image.read_png) into the scene atlas.
 """
 from __future__ import annotations
 
@@ -116,6 +115,35 @@ def load_gltf_scene(path: str, use_bvh: bool = True):
 
     builder = SceneBuilder()
     mat_map: Dict[int, int] = {}
+    tex_map: Dict[int, int] = {}
+
+    def builder_texture(tex_index: Optional[int]) -> int:
+        """glTF texture -> atlas index (PNG images only; others skipped)."""
+        if tex_index is None:
+            return -1
+        if tex_index in tex_map:
+            return tex_map[tex_index]
+        out = -1
+        try:
+            tex = gltf["textures"][tex_index]
+            img = gltf["images"][tex["source"]]
+            blob = None
+            if "bufferView" in img:
+                view = gltf["bufferViews"][img["bufferView"]]
+                buf = bufs[view.get("buffer", 0)]
+                start = view.get("byteOffset", 0)
+                blob = buf[start : start + view["byteLength"]]
+            elif "uri" in img and not img["uri"].startswith("data:"):
+                with open(os.path.join(base_dir, img["uri"]), "rb") as f:
+                    blob = f.read()
+            if blob is not None and blob[:8] == b"\x89PNG\r\n\x1a\n":
+                from hybrid_rendering_tpu.utils.image import read_png
+
+                out = builder.add_texture(read_png(blob))
+        except Exception:
+            out = -1
+        tex_map[tex_index] = out
+        return out
 
     def builder_material(mi: Optional[int]) -> int:
         key = -1 if mi is None else mi
@@ -128,11 +156,13 @@ def load_gltf_scene(path: str, use_bvh: bool = True):
             pbr = m.get("pbrMetallicRoughness", {})
             base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
             emis = m.get("emissiveFactor", [0.0, 0.0, 0.0])
+            base_tex = pbr.get("baseColorTexture", {}).get("index")
             mdef = MaterialDef(
                 albedo=tuple(base[:3]),
                 roughness=float(pbr.get("roughnessFactor", 1.0)),
                 metallic=float(pbr.get("metallicFactor", 1.0)),
                 emissive=tuple(emis),
+                albedo_tex=builder_texture(base_tex),
             )
         mat_map[key] = builder.add_material(mdef)
         return mat_map[key]

@@ -123,6 +123,7 @@ class Material:
     roughness: Array  # (M,)
     metallic: Array  # (M,)
     emissive: Array  # (M,3)
+    albedo_tex: Array = None  # (M,) int32 atlas texture index, -1 = none
 
 
 @struct.dataclass
@@ -143,6 +144,8 @@ class SceneArrays:
     tri_mesh_id: Array  # (T,) int32 submesh id (disocclusion identity,
     #                       reference g_buffer.cpp:141-176)
     materials: Material
+    # texture atlas (None when the scene is untextured)
+    atlas: Optional[Any] = None
     # BVH arrays (filled by ops.bvh.build_bvh; zeros when brute-force)
     bvh_nodes_min: Optional[Array] = None  # (N, 3)
     bvh_nodes_max: Optional[Array] = None  # (N, 3)

@@ -51,6 +51,73 @@ def write_png(path: str, img: np.ndarray):
         f.write(png)
 
 
+def read_png(data_or_path) -> np.ndarray:
+    """Minimal PNG reader (8/16-bit, RGB/RGBA/gray, non-interlaced).
+    Returns (H, W, C) float32 in [0, 1]. Pure python (zlib only)."""
+    if isinstance(data_or_path, (bytes, bytearray)):
+        data = bytes(data_or_path)
+    else:
+        with open(data_or_path, "rb") as f:
+            data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = bitdepth = color_type = None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bitdepth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    bpp = channels * (bitdepth // 8)
+    stride = w * bpp
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += 1 + stride
+        if ftype == 1:  # sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # up
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        out[y] = line
+        prev = line
+    if bitdepth == 16:
+        img16 = out.reshape(h, w, channels, 2)
+        img = (img16[..., 0].astype(np.float32) * 256
+               + img16[..., 1]) / 65535.0
+    else:
+        img = out.reshape(h, w, channels).astype(np.float32) / 255.0
+    return img
+
+
 def rmse(a: np.ndarray, b: np.ndarray) -> float:
     """Root-mean-square error between two images (fidelity gate:
     <=2% vs GT, BASELINE.md north star)."""

@@ -30,8 +30,10 @@ class TestRNG:
             return s0, s1, result
 
         x, y, frame = 3, 7, 42
-        s0 = wang(((x << 16) | y) & 0xFFFFFFFF)
-        s1 = wang(frame)
+        pix = wang(((x << 16) | y) & 0xFFFFFFFF)
+        fh = wang((frame + 0x9E3779B9) & 0xFFFFFFFF)
+        s0 = wang(pix ^ fh)
+        s1 = wang((pix + fh * 0x85EBCA6B) & 0xFFFFFFFF)
         s0, s1, _ = scalar_next(s0, s1)  # rng_init's warm-up call
         expected = []
         for _ in range(4):
