@@ -257,6 +257,59 @@ def sample_irradiance(
     return 0.5 * jnp.pi * net
 
 
+def visualize_probes(
+    grid: ProbeGrid,
+    state: DDGIState,
+    cfg: DDGIConfig,
+    camera,
+    base_image: jax.Array,  # (H,W,3) to composite over
+    gb_depth: jax.Array,  # (H,W) scene ndc depth for occlusion
+    radius: float = 0.12,
+):
+    """Probe visualization — the reference draws instanced spheres colored
+    by atlas irradiance (gi_probe_visualization.vert/.frag, drawn by
+    deferred shading, deferred_shading.cpp:825-866). Here each probe
+    splats a depth-tested disc colored by its mean atlas irradiance
+    (P is small, so the P x pixels test is a cheap dense op)."""
+    H, W = gb_depth.shape
+    pos = probe_positions(grid)  # (P,3)
+    P = pos.shape[0]
+    color = jnp.mean(state.irradiance, axis=(1, 2))  # (P,3)
+
+    ph = jnp.concatenate([pos, jnp.ones((P, 1))], axis=1)
+    clip = ph @ camera.view_proj.T
+    wsign = jnp.sign(clip[:, 3:4])
+    ndc = clip[:, :3] / jnp.maximum(jnp.abs(clip[:, 3:4]), 1e-8) * wsign
+    in_front = clip[:, 3] > 0.0
+    sx = (ndc[:, 0] * 0.5 + 0.5) * W
+    sy = (1.0 - ndc[:, 1]) * 0.5 * H
+    depth = ndc[:, 2]
+    # screen-space radius ~ radius / distance
+    view = ph @ camera.view.T
+    dist = jnp.maximum(-view[:, 2], 1e-3)
+    pix_r = radius / dist * W * 0.5
+
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    out = base_image
+    zbuf = gb_depth
+
+    def body(i, carry):
+        out, zbuf = carry
+        dx = xx - sx[i]
+        dy = yy - sy[i]
+        inside = (dx * dx + dy * dy <= pix_r[i] * pix_r[i]) & in_front[i]
+        visible = inside & (depth[i] <= zbuf)
+        out = jnp.where(visible[..., None], color[i], out)
+        zbuf = jnp.where(visible, depth[i], zbuf)
+        return out, zbuf
+
+    out, _ = jax.lax.fori_loop(0, P, body, (out, zbuf))
+    return out
+
+
 def make_irradiance_sampler(grid: ProbeGrid, cfg: DDGIConfig):
     """Returns sample(state, p, n, wo) -> (...,3). On TPU backends this is
     the tile-windowed Pallas kernel (ops/pallas/ddgi_sample.py: zero

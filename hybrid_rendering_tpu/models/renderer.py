@@ -255,6 +255,17 @@ class HybridRenderer:
         # --- tone map (main.cpp:98-108) ---
         outputs["ldr"] = tonemap_mod.tonemap(color, cfg.tonemap)
 
+        # probe visualization (deferred_shading.cpp:825-866) as a debug
+        # output on the HDR frame
+        if cfg.ddgi.enabled:
+            outputs["ddgi_probes"] = tonemap_mod.tonemap(
+                ddgi_mod.visualize_probes(
+                    self.probe_grid, ddgi_state, cfg.ddgi, camera, hdr,
+                    gb.depth,
+                ),
+                cfg.tonemap,
+            )
+
         new_state = RenderState(
             prev_gbuffer=gb,
             shadows=shadows_state,

@@ -24,6 +24,7 @@ VIS_MODES = (
     "final", "gt", "shadows", "shadows_ray_trace", "ao", "ao_ray_trace",
     "reflections", "reflections_ray_trace", "ddgi", "deferred",
     "gbuffer_albedo", "gbuffer_normal", "gbuffer_depth", "taa",
+    "ddgi_probes",
 )
 
 
