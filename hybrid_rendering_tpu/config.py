@@ -170,6 +170,12 @@ class RendererConfig:
     use_bvh: bool = True
     bvh_stack_depth: int = 32
     dtype: str = "float32"  # accumulators stay f32; images may be bf16
+    # Materialize per-pass debug outputs (ray_trace/temporal/atrous planes,
+    # probe visualization). The reference only renders the selected debug
+    # view (output_ds switching, tone_map.cpp:105-123); keeping this False
+    # lets XLA fuse/free intermediates instead of writing ~20 full-res
+    # planes to HBM every frame.
+    debug_outputs: bool = False
 
     def replace(self, **kw) -> "RendererConfig":
         return dataclasses.replace(self, **kw)

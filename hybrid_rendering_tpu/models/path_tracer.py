@@ -120,8 +120,10 @@ def trace_wavefront(
         cos_theta = jnp.clip(dot(n, wi), 0.0, 1.0)
         T_new = T * brdf_val * cos_theta[:, None] / jnp.maximum(pdf, 1e-6)[:, None]
 
-        # Russian roulette on max throughput component
-        prob = jnp.max(T_new, axis=-1)
+        # Russian roulette on max throughput component; clamp the survival
+        # probability to 1 so high-throughput (specular) paths aren't biased
+        # low by dividing through by prob > 1.
+        prob = jnp.minimum(jnp.max(T_new, axis=-1), 1.0)
         rng, rr = rng_ops.next_float(rng)
         survive = rr <= prob
         T = T_new / jnp.maximum(prob, 1e-6)[:, None]

@@ -133,49 +133,58 @@ class HybridRenderer:
         the state arg)."""
         cfg = self.config
         W, H = cfg.width, cfg.height
+        debug = cfg.debug_outputs
         outputs: Dict[str, jax.Array] = {}
 
         # --- G-buffer (main.cpp:79) ---
-        gb = gbuffer_mod.render_gbuffer(self.scene, self.closest_surface_fn, camera, W, H)
-        outputs["gbuffer_albedo"] = gb.albedo
-        outputs["gbuffer_normal"] = gb.normal
-        outputs["gbuffer_depth"] = gb.depth
+        with jax.named_scope("gbuffer"):
+            gb = gbuffer_mod.render_gbuffer(
+                self.scene, self.closest_surface_fn, camera, W, H
+            )
+        if debug:
+            outputs["gbuffer_albedo"] = gb.albedo
+            outputs["gbuffer_normal"] = gb.normal
+            outputs["gbuffer_depth"] = gb.depth
 
         # --- shadows (main.cpp:80) ---
         shadow_vis = None
         shadows_state = state.shadows
         if cfg.shadows.enabled:
-            gb_s = gbuffer_mod.downsample_gbuffer(gb, int(cfg.shadows.scale))
-            prev_gb_s = gbuffer_mod.downsample_gbuffer(
-                state.prev_gbuffer, int(cfg.shadows.scale)
-            )
-            sh_out, shadows_state = shadows_mod.shadows_pass(
-                self.visibility_fn, gb_s, prev_gb_s, gb, light,
-                state.shadows, state.frame_index, cfg.shadows,
-            )
+            with jax.named_scope("shadows"):
+                gb_s = gbuffer_mod.downsample_gbuffer(gb, int(cfg.shadows.scale))
+                prev_gb_s = gbuffer_mod.downsample_gbuffer(
+                    state.prev_gbuffer, int(cfg.shadows.scale)
+                )
+                sh_out, shadows_state = shadows_mod.shadows_pass(
+                    self.visibility_fn, gb_s, prev_gb_s, gb, light,
+                    state.shadows, state.frame_index, cfg.shadows,
+                )
             shadow_vis = sh_out.final
-            outputs["shadows_ray_trace"] = sh_out.ray_trace
-            outputs["shadows_temporal"] = sh_out.temporal
-            outputs["shadows_atrous"] = sh_out.atrous
-            outputs["shadows"] = sh_out.final
+            if debug:
+                outputs["shadows_ray_trace"] = sh_out.ray_trace
+                outputs["shadows_temporal"] = sh_out.temporal
+                outputs["shadows_atrous"] = sh_out.atrous
+                outputs["shadows"] = sh_out.final
 
         # --- AO (main.cpp:81) ---
         ao_plane = None
         ao_state = state.ao
         if cfg.ao.enabled:
-            gb_a = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ao.scale))
-            prev_gb_a = gbuffer_mod.downsample_gbuffer(
-                state.prev_gbuffer, int(cfg.ao.scale)
-            )
-            ao_out, ao_state = ao_pass_mod.ao_pass(
-                self.visibility_fn, gb_a, prev_gb_a, gb,
-                state.ao, state.frame_index, cfg.ao,
-            )
+            with jax.named_scope("ao"):
+                gb_a = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ao.scale))
+                prev_gb_a = gbuffer_mod.downsample_gbuffer(
+                    state.prev_gbuffer, int(cfg.ao.scale)
+                )
+                ao_out, ao_state = ao_pass_mod.ao_pass(
+                    self.visibility_fn, gb_a, prev_gb_a, gb,
+                    state.ao, state.frame_index, cfg.ao,
+                )
             ao_plane = ao_out.final
-            outputs["ao_ray_trace"] = ao_out.ray_trace
-            outputs["ao_temporal"] = ao_out.temporal
-            outputs["ao_blur"] = ao_out.blur
-            outputs["ao"] = ao_out.final
+            if debug:
+                outputs["ao_ray_trace"] = ao_out.ray_trace
+                outputs["ao_temporal"] = ao_out.temporal
+                outputs["ao_blur"] = ao_out.blur
+                outputs["ao"] = ao_out.final
 
         # --- DDGI (main.cpp:82): ray trace reads the PREVIOUS frame's
         # atlases (ddgi.cpp:775-778), deferred/reflections read the updated
@@ -184,80 +193,97 @@ class HybridRenderer:
         gi_screen = None
         gi_sample_fn = None
         if cfg.ddgi.enabled:
-            ddgi_state = ddgi_mod.ddgi_update(
-                self.scene, self.closest_surface_fn, self.visibility_fn,
-                self.probe_grid, state.ddgi, light, self.sky_radiance_fn,
-                state.frame_index, cfg.ddgi, sampler=self.gi_sampler,
-            )
+            with jax.named_scope("ddgi_update"):
+                ddgi_state = ddgi_mod.ddgi_update(
+                    self.scene, self.closest_surface_fn, self.visibility_fn,
+                    self.probe_grid, state.ddgi, light, self.sky_radiance_fn,
+                    state.frame_index, cfg.ddgi, sampler=self.gi_sampler,
+                )
 
             def gi_sample_fn(p, n, wo, _st=ddgi_state):
                 return self.gi_sampler(_st, p, n, wo)
 
-            gb_g = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ddgi.scale))
-            gi_low = ddgi_mod.sample_probe_grid_screen(
-                self.probe_grid, ddgi_state, cfg.ddgi, gb_g, camera.position,
-                sampler=self.gi_sampler,
-            )
-            if cfg.ddgi.scale != 0:
-                from hybrid_rendering_tpu.ops import filters as _filters
-
-                gi_screen = _filters.upsample_edge_aware(
-                    gi_low, gb_g.normal, gb_g.linear_z,
-                    gb.normal, gb.linear_z, int(cfg.ddgi.scale),
+            with jax.named_scope("ddgi_sample_screen"):
+                gb_g = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ddgi.scale))
+                gi_low = ddgi_mod.sample_probe_grid_screen(
+                    self.probe_grid, ddgi_state, cfg.ddgi, gb_g,
+                    camera.position, sampler=self.gi_sampler,
                 )
-            else:
-                gi_screen = gi_low
-            outputs["ddgi"] = gi_screen
+                if cfg.ddgi.scale != 0:
+                    from hybrid_rendering_tpu.ops import filters as _filters
+
+                    gi_screen = _filters.upsample_edge_aware(
+                        gi_low, gb_g.normal, gb_g.linear_z,
+                        gb.normal, gb.linear_z, int(cfg.ddgi.scale),
+                    )
+                else:
+                    gi_screen = gi_low
+            if debug:
+                outputs["ddgi"] = gi_screen
 
         # --- reflections (main.cpp:83) ---
         refl_plane = None
         refl_state = state.reflections
         if cfg.reflections.enabled:
-            camera_delta = jnp.linalg.norm(camera.position - state.prev_cam_pos)
-            gb_r = gbuffer_mod.downsample_gbuffer(gb, int(cfg.reflections.scale))
-            prev_gb_r = gbuffer_mod.downsample_gbuffer(
-                state.prev_gbuffer, int(cfg.reflections.scale)
-            )
-            refl_out, refl_state = reflections_mod.reflections_pass(
-                self.scene, self.closest_surface_fn, self.visibility_fn,
-                gb_r, prev_gb_r, gb, camera, camera_delta, light,
-                self.sky_radiance_fn, state.reflections, state.frame_index,
-                cfg.reflections,
-                gi_sample_fn=gi_sample_fn,
-                env_prefiltered_fn=self.env_prefiltered_fn,
-            )
+            with jax.named_scope("reflections"):
+                camera_delta = jnp.linalg.norm(
+                    camera.position - state.prev_cam_pos
+                )
+                gb_r = gbuffer_mod.downsample_gbuffer(
+                    gb, int(cfg.reflections.scale)
+                )
+                prev_gb_r = gbuffer_mod.downsample_gbuffer(
+                    state.prev_gbuffer, int(cfg.reflections.scale)
+                )
+                refl_out, refl_state = reflections_mod.reflections_pass(
+                    self.scene, self.closest_surface_fn, self.visibility_fn,
+                    gb_r, prev_gb_r, gb, camera, camera_delta, light,
+                    self.sky_radiance_fn, state.reflections,
+                    state.frame_index, cfg.reflections,
+                    gi_sample_fn=gi_sample_fn,
+                    env_prefiltered_fn=self.env_prefiltered_fn,
+                )
             refl_plane = refl_out.final
-            outputs["reflections_ray_trace"] = refl_out.ray_trace
-            outputs["reflections_temporal"] = refl_out.temporal
-            outputs["reflections_atrous"] = refl_out.atrous
-            outputs["reflections"] = refl_out.final
+            if debug:
+                outputs["reflections_ray_trace"] = refl_out.ray_trace
+                outputs["reflections_temporal"] = refl_out.temporal
+                outputs["reflections_atrous"] = refl_out.atrous
+                outputs["reflections"] = refl_out.final
 
         # --- deferred shading (main.cpp:84-88) ---
-        hdr = deferred_mod.deferred_shading(
-            gb, camera, light, self.sky_radiance_fn, W, H,
-            shadow_visibility=shadow_vis,
-            ao=ao_plane,
-            reflections=refl_plane,
-            gi_irradiance=gi_screen,
-            env_irradiance_fn=self.env_irradiance_fn,
-            env_prefiltered_fn=self.env_prefiltered_fn,
-            cfg=cfg.deferred,
-        )
-        outputs["deferred"] = hdr
+        with jax.named_scope("deferred"):
+            hdr = deferred_mod.deferred_shading(
+                gb, camera, light, self.sky_radiance_fn, W, H,
+                shadow_visibility=shadow_vis,
+                ao=ao_plane,
+                reflections=refl_plane,
+                gi_irradiance=gi_screen,
+                env_irradiance_fn=self.env_irradiance_fn,
+                env_prefiltered_fn=self.env_prefiltered_fn,
+                cfg=cfg.deferred,
+            )
+        if debug:
+            outputs["deferred"] = hdr
 
         # --- TAA (main.cpp:90-97) ---
         taa_state = state.taa
         color = hdr
         if cfg.taa.enabled:
-            color, taa_state = taa_mod.taa_resolve(hdr, gb, state.taa, cfg.taa)
-        outputs["taa"] = color
+            with jax.named_scope("taa"):
+                color, taa_state = taa_mod.taa_resolve(
+                    hdr, gb, state.taa, cfg.taa
+                )
+        if debug:
+            outputs["taa"] = color
 
         # --- tone map (main.cpp:98-108) ---
-        outputs["ldr"] = tonemap_mod.tonemap(color, cfg.tonemap)
+        with jax.named_scope("tonemap"):
+            outputs["ldr"] = tonemap_mod.tonemap(color, cfg.tonemap)
 
         # probe visualization (deferred_shading.cpp:825-866) as a debug
-        # output on the HDR frame
-        if cfg.ddgi.enabled:
+        # output on the HDR frame — only built when debug views are on
+        # (the reference draws probes only when its GUI toggle is set)
+        if cfg.ddgi.enabled and debug:
             outputs["ddgi_probes"] = tonemap_mod.tonemap(
                 ddgi_mod.visualize_probes(
                     self.probe_grid, ddgi_state, cfg.ddgi, camera, hdr,

@@ -394,6 +394,13 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         dside = state.depth.shape[1]
         dep = state.depth
         if dside > 8:
+            # Downsample (E[d], E[d^2]) texels by plain averaging. This
+            # POOLS the distributions: avg(E[d^2]) - avg(E[d])^2 =
+            # avg(Var_texel) + Var(texel means), so the Chebyshev variance
+            # at 8x8 includes the inter-texel variance automatically — no
+            # visibility information is dropped beyond the resolution
+            # itself (bounded by tests/test_ddgi_fast_sampler.py full-frame
+            # RMSE vs the 16x16 XLA path).
             f = dside // 8
             dep = dep.reshape(P, 8, f, 8, f, 2).mean(axis=(2, 4))
         dep_flat = dep.reshape(P, -1)

@@ -99,6 +99,12 @@ def reproject(
     prev_pos_n = near[..., C + 3 + 3 : C + 3 + 6]
     prev_mesh_n = jnp.round(near[..., C + 3 + 6]).astype(jnp.int32)
 
+    # Documented delta vs reprojection.glsl:196-265: the reference weights
+    # each bilinear tap's validity individually; here the bilinear blend is
+    # validated against the nearest-warped prev position/mesh only. A blend
+    # straddling a geometry edge can therefore pass and briefly ghost — if
+    # that shows up in animated scenes, add a per-tap validity mask to
+    # warp_bilinear (the 4 taps are static shifts) and renormalize.
     bil_normal = bil[..., C + 3 : C + 6]
     valid_b = validity(bil_normal, prev_pos_n, prev_mesh_n, ok_b)
 

@@ -47,8 +47,17 @@ def warp_bilinear(
     hy: jax.Array,  # (H, W) source y pixel coords
     max_residual: int = MAX_RESIDUAL,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Bilinear warp. Returns (warped (H,W,C), in_window (H,W) bool).
-    Out-of-window or out-of-frame pixels are invalid (values undefined)."""
+    """Separable two-pass bilinear warp. Returns (warped (H,W,C),
+    in_window (H,W) bool). Out-of-window or out-of-frame pixels are
+    invalid (values undefined).
+
+    Approximation note: the row pass evaluates its (ky, fy) displacement at
+    the shifted column x+kx rather than at the destination pixel, so this
+    equals a true bilinear gather only where the per-axis displacement is
+    locally constant (rigid camera translation, the common case). For
+    spatially varying motion (depth edges, rotation) it can fetch from a
+    neighboring source row; downstream mesh-id/plane disocclusion tests
+    degrade such pixels to a history reset, which is graceful."""
     H, W = hy.shape
     yy, xx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),

@@ -92,7 +92,8 @@ def main():
     )
     from hybrid_rendering_tpu.utils.profiler import FrameTimer
 
-    base = RendererConfig(width=args.width, height=args.height)
+    base = RendererConfig(width=args.width, height=args.height,
+                          debug_outputs=True)
     scene, light, camkw, cfg, preset = apply_preset(args.scene, base)
     cfg = cfg.replace(
         shadows=dataclasses.replace(cfg.shadows, enabled=not args.no_shadows),

@@ -126,7 +126,7 @@ class TestReflections:
         sky = ConstantSky(color=jnp.asarray([0.1, 0.1, 0.12]))
         light = Light.directional(direction=(0.2, 0.9, 0.3), intensity=3.0)
         cfg = RendererConfig(
-            width=64, height=64,
+            width=64, height=64, debug_outputs=True,
             shadows=ShadowsConfig(atrous_iterations=1),
             ao=AOConfig(enabled=False),
             reflections=ReflectionsConfig(
@@ -152,7 +152,7 @@ class TestReflections:
         sky = ConstantSky(color=jnp.asarray([0.2, 0.25, 0.3]))
         light = Light.directional(direction=(0.2, 0.9, 0.3), intensity=3.0)
         cfg = RendererConfig(
-            width=32, height=32,
+            width=32, height=32, debug_outputs=True,
             shadows=ShadowsConfig(atrous_iterations=1),
             ao=AOConfig(scale=RayTraceScale.HALF, blur_radius=2),
             reflections=ReflectionsConfig(

@@ -185,11 +185,19 @@ class TestCheckpoint:
         back = load_state(p, like=st)
         np.testing.assert_allclose(np.asarray(back.history), 0.25)
 
-    def test_roundtrip_without_like(self, tmp_path):
+    def test_requires_like_and_checks_keypaths(self, tmp_path):
+        import pytest
         from hybrid_rendering_tpu.utils.checkpoint import load_state, save_state
 
         st = {"a": jnp.ones((3, 3)), "b": [jnp.zeros(2), jnp.full((1,), 7.0)]}
         p = str(tmp_path / "ckpt2.npz")
         save_state(p, st)
-        back = load_state(p)
+        back = load_state(p, like=st)
         np.testing.assert_allclose(np.asarray(back["b"][1]), 7.0)
+        # no pickled structure in the file -> like is mandatory
+        with pytest.raises(ValueError):
+            load_state(p, like=None)
+        # refactored layout (different key paths) fails loudly
+        wrong = {"a": jnp.ones((3, 3)), "c": [jnp.zeros(2), jnp.zeros((1,))]}
+        with pytest.raises(ValueError):
+            load_state(p, like=wrong)

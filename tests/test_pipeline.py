@@ -21,7 +21,7 @@ def setup():
     sky = ProceduralSky.create(sun_direction=np.asarray(light.direction))
     irr_fn, pref_fn = make_env_fallbacks(sky.radiance, num_samples=512)
     cfg = RendererConfig(
-        width=64, height=64,
+        width=64, height=64, debug_outputs=True,
         shadows=ShadowsConfig(scale=RayTraceScale.FULL, atrous_iterations=2),
         ao=AOConfig(scale=RayTraceScale.HALF, blur_radius=2),
         reflections=ReflectionsConfig(enabled=False),
