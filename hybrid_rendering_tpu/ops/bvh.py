@@ -267,8 +267,10 @@ def make_tracers(scene: SceneArrays, use_bvh: bool = True, method: str = "auto")
     Shapes: origin/dir may be (..., 3); flattened internally.
 
     method:
-      "flash" — MXU-dense Pallas matmul tracer (ops/pallas/flashtrace.py);
+      "flash" — sparse cluster-culled MXU tracer (flashtrace v2);
                 the production TPU path.
+      "flash_dense" — v1 dense flash tracer (every packet visits every
+                triangle tile); fallback/oracle for the sparse path.
       "bvh"   — stackless skip-link BVH walk (gather-based; fast on CPU,
                 slow on TPU).
       "brute" — XLA dense Möller-Trumbore (oracle).
@@ -281,17 +283,22 @@ def make_tracers(scene: SceneArrays, use_bvh: bool = True, method: str = "auto")
             "bvh" if (use_bvh and scene.bvh_nodes_min is not None) else "brute"
         )
 
-    if method == "flash":
+    if method in ("flash", "flash_dense"):
         from hybrid_rendering_tpu.ops.pallas import flashtrace
 
         fs = flashtrace.make_flash_scene(scene.tri_pos)
         interpret = not _is_tpu_backend()
+        sparse = method == "flash"
 
         def closest(o, d, tm):
-            return flashtrace.flash_closest_hit(fs, o, d, tm, interpret=interpret)
+            f = (flashtrace.flash_closest_hit_sparse if sparse
+                 else flashtrace.flash_closest_hit)
+            return f(fs, o, d, tm, interpret=interpret)
 
         def vis(o, d, tm):
-            return flashtrace.flash_visibility(fs, o, d, tm, interpret=interpret)
+            f = (flashtrace.flash_visibility_sparse if sparse
+                 else flashtrace.flash_visibility)
+            return f(fs, o, d, tm, interpret=interpret)
 
         return _make_flat(closest), _make_flat(vis)
 
@@ -335,7 +342,7 @@ def make_surface_tracer(scene: SceneArrays, method: str = "auto"):
             "bvh" if scene.bvh_nodes_min is not None else "brute"
         )
 
-    if method == "flash":
+    if method in ("flash", "flash_dense"):
         from hybrid_rendering_tpu.ops.pallas import flashtrace
 
         fs = flashtrace.make_flash_scene(
@@ -343,11 +350,12 @@ def make_surface_tracer(scene: SceneArrays, method: str = "auto"):
             scene.tri_mat, scene.tri_mesh_id,
         )
         interpret = not _is_tpu_backend()
+        attrs_fn = (flashtrace.flash_closest_hit_attrs_sparse
+                    if method == "flash"
+                    else flashtrace.flash_closest_hit_attrs)
 
         def closest_surface_flat(o, d, tm):
-            hit, attrs = flashtrace.flash_closest_hit_attrs(
-                fs, o, d, tm, interpret=interpret
-            )
+            hit, attrs = attrs_fn(fs, o, d, tm, interpret=interpret)
             surf = fetch_mod.surface_from_attrs(scene, o, d, hit, attrs)
             return hit, surf
 

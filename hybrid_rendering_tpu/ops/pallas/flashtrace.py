@@ -23,8 +23,26 @@ Numerical note: |o x d| grows with |o|, costing relative precision, so both
 rays and triangles are re-centered on the scene centroid before building
 features (see make_flash_scene / _features).
 
-This is the wavefront "trace" kernel of SURVEY §2.10; a hierarchical
-cluster-culled variant lands on top of it for large scenes.
+This is the wavefront "trace" kernel of SURVEY §2.10. Two generations:
+
+- v1 (dense): grid = (ray tiles, ALL tri tiles); per-step packet-vs-cluster
+  AABB test skips compute but not the block DMA. Kept as the fallback and
+  the oracle for the sparse path.
+- v2 (sparse, the production path): an XLA prepass intersects every 256-ray
+  packet against every cluster AABB with conservative interval arithmetic
+  and emits a per-packet cluster list sorted by entry distance; the kernel
+  grid is (packets, K) with scalar-prefetched list indices driving the
+  triangle-block DMA, so a packet only ever fetches/tests the clusters it
+  can geometrically hit — the hierarchical culling layer that makes the
+  tracer scale past toy scenes (reference bar: Sponza ~262k tris,
+  /root/reference/src/common.cpp:520-533). Padded list entries repeat the
+  previous cluster id, which Pallas recognizes as the same block (no DMA)
+  and `pl.when` skips the compute.
+
+v2 also drops per-candidate divisions: Möller-Trumbore acceptance runs in
+sign-adjusted numerator space (su = u_num*sign(det) etc.), the division
+happens only for the per-tile winner, and the matmul uses a split-operand
+bf16x3 scheme (hi/lo bf16 halves, 3 MXU passes) instead of 6-pass fp32.
 """
 from __future__ import annotations
 
@@ -39,14 +57,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hybrid_rendering_tpu.types import Hit
 
-RAY_TILE = 256  # rays per grid step (sublane-friendly: 2x(8,128) f32)
-TRI_TILE = 512  # triangles per grid step; tune vs cluster-culling granularity
+import os as _os
+
+# rays per grid step (sublane-friendly multiples of (8,128) f32) and
+# triangles per grid step / culling cluster size. Env-overridable for
+# tuning sweeps (tools/bench_trace.py).
+RAY_TILE = int(_os.environ.get("FLASH_RAY_TILE", "256"))
+TRI_TILE = int(_os.environ.get("FLASH_TRI_TILE", "128"))
 
 FEAT = 16  # 10 features padded to 16 lanes
 BIG_T = 3.0e38
 
 
 ATTR = 24  # per-tri attribute row: n0 n1 n2 (9) uv0..2 (6) mat mesh geo_n (5)
+
+
+MAX_CLUSTERS = 64  # static cap on per-packet cluster-list length (v2)
 
 
 class FlashScene(NamedTuple):
@@ -58,6 +84,8 @@ class FlashScene(NamedTuple):
     num_tris: int
     num_tri_tiles: int
     attrs: jax.Array = None  # (NTT*TRI_TILE, ATTR) per-tri attributes
+    trimat_hi: jax.Array = None  # bf16 high halves of trimat (split-operand)
+    trimat_lo: jax.Array = None  # bf16 residual halves
 
 
 def make_flash_scene(
@@ -132,9 +160,13 @@ def make_flash_scene(
         attrs = jnp.concatenate([tn, tu, tm_col, tmesh, geo_n], axis=1)
         attrs = jnp.pad(attrs, ((0, 0), (0, ATTR - attrs.shape[1])))
 
+    trimat = jnp.asarray(trimat)
+    trimat_hi = trimat.astype(jnp.bfloat16)
+    trimat_lo = (trimat - trimat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return FlashScene(
-        trimat=jnp.asarray(trimat), cluster_box=cluster_box,
+        trimat=trimat, cluster_box=cluster_box,
         center=center, num_tris=T, num_tri_tiles=ntt, attrs=attrs,
+        trimat_hi=trimat_hi, trimat_lo=trimat_lo,
     )
 
 
@@ -374,6 +406,498 @@ def flash_closest_hit_attrs(
     [n0 n1 n2 | uv0 uv1 uv2 | mat_id mesh_id | geo_n | pad]."""
     return _flash_closest_impl(fs, origin, direction, t_max, t_min,
                                interpret, with_attrs=True)
+
+
+# ---------------------------------------------------------------------------
+# v2: sparse per-packet cluster lists (scalar prefetch)
+# ---------------------------------------------------------------------------
+
+
+def packet_cluster_lists(fs: FlashScene, origin, direction, t_max,
+                         t_min=1e-3, k_cap=MAX_CLUSTERS, k_list=None):
+    """Conservative packet->cluster culling (XLA prepass).
+
+    For each 256-ray packet, interval arithmetic over the packet's origin /
+    direction bounds gives a lower bound on the slab-entry t and an upper
+    bound on the slab-exit t per cluster AABB; a cluster is listed iff some
+    ray could hit it. Lists are sorted by entry distance (near first, so
+    the kernel's running best-t prunes far clusters) and padded by
+    repeating the last valid id (same block -> no extra DMA).
+
+    Returns (ids (P, K) int32, counts (P, 1) int32). K = min(NTT, k_cap).
+    Completeness: exact when counts <= K everywhere; packets intersecting
+    more than K clusters drop the FARTHEST ones (tests assert our scenes
+    never overflow; raise k_cap for pathological cases).
+    """
+    R = origin.shape[0]
+    ntt = fs.num_tri_tiles
+    K = int(k_list) if k_list is not None else int(min(ntt, k_cap))
+    P = R // RAY_TILE
+    o = (origin - fs.center).reshape(P, RAY_TILE, 3)
+    d = direction.reshape(P, RAY_TILE, 3)
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    tmax_ub = tm.reshape(P, RAY_TILE).max(axis=1)  # (P,)
+
+    olo = o.min(axis=1)[:, None, :]  # (P,1,3)
+    ohi = o.max(axis=1)[:, None, :]
+    dlo = d.min(axis=1)[:, None, :]
+    dhi = d.max(axis=1)[:, None, :]
+    blo = fs.cluster_box[None, :, 0:3]  # (1,NTT,3)
+    bhi = fs.cluster_box[None, :, 3:6]
+
+    # numerator intervals for the two slab planes
+    a_lo, a_hi = blo - ohi, blo - olo
+    b_lo, b_hi = bhi - ohi, bhi - olo
+    straddle = (dlo <= 0.0) & (dhi >= 0.0)  # axis gives no cull
+
+    def idiv(n_lo, n_hi):
+        # interval division by [dlo, dhi] (strictly one-signed where used)
+        q1, q2 = n_lo / dlo, n_lo / dhi
+        q3, q4 = n_hi / dlo, n_hi / dhi
+        lo = jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4))
+        hi = jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4))
+        return lo, hi
+
+    t0_lo, t0_hi = idiv(a_lo, a_hi)
+    t1_lo, t1_hi = idiv(b_lo, b_hi)
+    entry_lb = jnp.where(straddle, -BIG_T, jnp.minimum(t0_lo, t1_lo))
+    exit_ub = jnp.where(straddle, BIG_T, jnp.maximum(t0_hi, t1_hi))
+    tnear_lb = jnp.max(entry_lb, axis=-1)  # (P, NTT)
+    tfar_ub = jnp.min(exit_ub, axis=-1)
+    hit = (
+        (tnear_lb <= tfar_ub)
+        & (tfar_ub > t_min)
+        & (tnear_lb < tmax_ub[:, None])
+    )
+    key = jnp.where(hit, jnp.maximum(tnear_lb, 0.0), BIG_T)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (P, NTT)
+    counts = jnp.sum(hit, axis=1).astype(jnp.int32)
+    # pad entries past a packet's count (and past NTT when K > NTT) by
+    # repeating the last live cluster — same block, no extra DMA
+    kk = jnp.arange(K, dtype=jnp.int32)[None, :]
+    take = jnp.minimum(kk, jnp.maximum(counts - 1, 0)[:, None])
+    ids = jnp.take_along_axis(order, take, axis=1)
+    # 1-D layouts: 2-D int arrays in SMEM are lane-padded to 128 wide,
+    # blowing the ~1 MB SMEM budget at screen-scale packet counts
+    return ids.reshape(-1), jnp.minimum(counts, K)
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+_DOT_PASSES = int(_os.environ.get("FLASH_DOT_PASSES", "3"))  # debug knob
+
+
+def _dot_x3(f_hi, f_lo, m_hi_ref, m_lo_ref):
+    """Split-operand bf16x3 matmul: ~f32 accuracy at 3 MXU passes
+    (vs 6 for Precision.HIGHEST). The dropped lo@lo term is below one ulp
+    of the result."""
+    m_hi = m_hi_ref[:]
+    out = jnp.dot(f_hi, m_hi, preferred_element_type=jnp.float32)
+    if _DOT_PASSES >= 2:
+        out = out + jnp.dot(f_lo, m_hi, preferred_element_type=jnp.float32)
+    if _DOT_PASSES >= 3:
+        out = out + jnp.dot(f_hi, m_lo_ref[:],
+                            preferred_element_type=jnp.float32)
+    return out
+
+
+# relative slop on the numerator-space barycentric acceptance: bf16x3
+# rounding can push an exact-edge hit a hair negative; being slightly
+# inclusive instead re-tests shared edges on both triangles (harmless,
+# closest-t wins) rather than opening cracks.
+EDGE_SLOP = 1e-4
+DET_EPS = 1e-12
+
+
+def _mt_numerator_space(prod, tt, t_min, best_or_tmax):
+    """Sign-adjusted numerator-space Möller-Trumbore acceptance.
+    prod: (RT, 4*tt) grouped [det|t|u|v]. Returns (valid, st, adet)."""
+    det = prod[:, 0 * tt : 1 * tt]
+    tn = prod[:, 1 * tt : 2 * tt]
+    un = prod[:, 2 * tt : 3 * tt]
+    vn = prod[:, 3 * tt : 4 * tt]
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    adet = det * s
+    su = un * s
+    sv = vn * s
+    st = tn * s
+    slop = EDGE_SLOP * adet
+    valid = (
+        (adet > DET_EPS)
+        & (su >= -slop)
+        & (sv >= -slop)
+        & (su + sv <= adet + slop)
+        & (st > t_min * adet)
+        & (st < best_or_tmax * adet)
+    )
+    return valid, st, adet, su, sv
+
+
+def _hoisted_inv_dir(feats):
+    """Per-axis safe reciprocal directions, hoisted out of the per-cluster
+    box tests."""
+    invs = []
+    for axis in range(3):
+        d = feats[:, 3 + axis]
+        safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        invs.append(1.0 / safe)
+    return invs
+
+
+def _ray_box_any_multi(feats, inv_dir, box_ref, ids_ref, base, C, best_t,
+                       t_min):
+    """Union packet-vs-AABB test over this grid step's C clusters; one
+    vector->scalar reduction total."""
+    hit_any = None
+    for j in range(C):
+        c = ids_ref[base + j]
+        tnear = jnp.full(best_t.shape, -BIG_T)
+        tfar = jnp.full(best_t.shape, BIG_T)
+        for axis in range(3):
+            o = feats[:, axis]
+            inv = inv_dir[axis]
+            lo = (box_ref[c, axis] - o) * inv
+            hi = (box_ref[c, 3 + axis] - o) * inv
+            tnear = jnp.maximum(tnear, jnp.minimum(lo, hi))
+            tfar = jnp.minimum(tfar, jnp.maximum(lo, hi))
+        h = (tnear <= tfar) & (tfar > t_min) & (tnear < best_t)
+        hit_any = h if hit_any is None else (hit_any | h)
+    hit_any = hit_any & (best_t > t_min)
+    return jnp.max(hit_any.astype(jnp.int32)) > 0
+
+
+def _grouped_mt(f_hi, f_lo, mhis, mlos, tt):
+    """3C skinny dots -> per-kind (det|t|u|v) planes concatenated across the
+    step's C clusters: each (RT, C*tt)."""
+    prods = [_dot_x3(f_hi, f_lo, mh, ml) for mh, ml in zip(mhis, mlos)]
+    det = jnp.concatenate([pr[:, 0 * tt : 1 * tt] for pr in prods], axis=1)
+    tn = jnp.concatenate([pr[:, 1 * tt : 2 * tt] for pr in prods], axis=1)
+    un = jnp.concatenate([pr[:, 2 * tt : 3 * tt] for pr in prods], axis=1)
+    vn = jnp.concatenate([pr[:, 3 * tt : 4 * tt] for pr in prods], axis=1)
+    return det, tn, un, vn
+
+
+def _numerator_accept(det, tn, un, vn, t_min, best_or_tmax):
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    adet = det * s
+    su = un * s
+    sv = vn * s
+    st = tn * s
+    slop = EDGE_SLOP * adet
+    valid = (
+        (adet > DET_EPS)
+        & (su >= -slop)
+        & (sv >= -slop)
+        & (su + sv <= adet + slop)
+        & (st > t_min * adet)
+        & (st < best_or_tmax * adet)
+    )
+    return valid, st, adet, su, sv
+
+
+def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
+                           *rest, t_min, tt, kk, cps, with_attrs):
+    C = cps
+    mhis = rest[0:C]
+    mlos = rest[C : 2 * C]
+    if with_attrs:
+        attr_refs = rest[2 * C : 3 * C]
+        best_ref, id_ref, attr_out_ref = rest[3 * C :]
+    else:
+        attr_refs = None
+        best_ref, id_ref = rest[2 * C :]
+        attr_out_ref = None
+
+    k = pl.program_id(1)
+    i = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        best_ref[:, 0:1] = tmax_ref[:]
+        best_ref[:, 1:3] = jnp.zeros_like(best_ref[:, 1:3])
+        id_ref[:] = jnp.full_like(id_ref[:], -1)
+        if attr_out_ref is not None:
+            attr_out_ref[:] = jnp.zeros_like(attr_out_ref[:])
+
+    base = i * kk + k * C
+    live = k * C < cnt_ref[i]
+
+    def _work():
+        feats = feats_ref[:]
+        f_hi, f_lo = _split_bf16(feats)
+        det, tn, un, vn = _grouped_mt(f_hi, f_lo, mhis, mlos, tt)
+        if _os.environ.get("FLASH_NO_EPILOGUE") == "1":  # debug knob
+            best_ref[:, 0:1] = jnp.min(
+                det + tn + un + vn, axis=1, keepdims=True)
+            return
+        best_t = best_ref[:, 0:1]
+        valid, st, adet, su, sv = _numerator_accept(
+            det, tn, un, vn, t_min, best_t)
+        t = jnp.where(valid, st / jnp.maximum(adet, 1e-30), BIG_T)
+        tile_min = jnp.min(t, axis=1, keepdims=True)
+        improved = tile_min < best_t
+
+        def _update():
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            sel = (t == tile_min) & improved
+            first = jnp.min(jnp.where(sel, lane, C * tt),
+                            axis=1, keepdims=True)
+            sel = (lane == first) & improved
+
+            def pick(x):
+                return jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                               keepdims=True)
+
+            inv = 1.0 / jnp.maximum(pick(adet), 1e-30)
+            # winner lane -> global tri id: cluster j = first // tt,
+            # id = ids[base+j]*tt + (first - j*tt), computed with C
+            # scalar-broadcast selects on the (RT,1) winner vector
+            gid = first
+            for j in range(C):
+                c_j = ids_ref[base + j]
+                in_j = (first >= j * tt) & (first < (j + 1) * tt)
+                gid = jnp.where(in_j, first + (c_j - j) * tt, gid)
+            best_ref[:, 0:1] = jnp.where(improved, tile_min, best_t)
+            best_ref[:, 1:2] = jnp.where(
+                improved, pick(su) * inv, best_ref[:, 1:2])
+            best_ref[:, 2:3] = jnp.where(
+                improved, pick(sv) * inv, best_ref[:, 2:3])
+            id_ref[:] = jnp.where(improved, gid, id_ref[:])
+            if attr_out_ref is not None:
+                attr_cat = jnp.concatenate(
+                    [a[:] for a in attr_refs], axis=0)
+                attr_sel = jnp.dot(
+                    jnp.where(sel, 1.0, 0.0), attr_cat,
+                    preferred_element_type=jnp.float32,
+                )
+                attr_out_ref[:] = jnp.where(
+                    improved, attr_sel, attr_out_ref[:])
+
+        if SYNC_FREE:
+            _update()
+        else:
+            pl.when(jnp.any(improved))(_update)
+
+    if SYNC_FREE:
+        pl.when(live)(_work)
+    else:
+        def _gated():
+            feats = feats_ref[:]
+            inv_dir = _hoisted_inv_dir(feats)
+            pl.when(_ray_box_any_multi(
+                feats, inv_dir, box_ref, ids_ref, base, C,
+                best_ref[:, 0], t_min))(_work)
+        pl.when(live)(_gated)
+
+
+def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
+                          *rest, t_min, tt, kk, cps):
+    C = cps
+    mhis = rest[0:C]
+    mlos = rest[C : 2 * C]
+    (vis_ref,) = rest[2 * C :]
+
+    k = pl.program_id(1)
+    i = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        vis_ref[:] = (tmax_ref[:] > t_min).astype(jnp.int32)
+
+    base = i * kk + k * C
+    live = k * C < cnt_ref[i]
+
+    def _work():
+        feats = feats_ref[:]
+        f_hi, f_lo = _split_bf16(feats)
+        det, tn, un, vn = _grouped_mt(f_hi, f_lo, mhis, mlos, tt)
+        valid, _, _, _, _ = _numerator_accept(
+            det, tn, un, vn, t_min, tmax_ref[:])
+        blocked = jnp.max(valid.astype(jnp.int32), axis=1, keepdims=True)
+        vis_ref[:] = vis_ref[:] * (1 - blocked)
+
+    if SYNC_FREE:
+        pl.when(live)(_work)
+    else:
+        def _gated():
+            feats = feats_ref[:]
+            inv_dir = _hoisted_inv_dir(feats)
+            live_budget = jnp.where(vis_ref[:, 0] > 0, tmax_ref[:, 0], 0.0)
+            pl.when(_ray_box_any_multi(
+                feats, inv_dir, box_ref, ids_ref, base, C, live_budget,
+                t_min))(_work)
+        pl.when(live)(_gated)
+
+
+# per-call budget on scalar-prefetch entries (SMEM is ~1 MB); calls with
+# more packets x K than this are split into packet chunks
+_SMEM_ENTRY_BUDGET = 120_000
+
+# clusters processed per grid step: amortizes per-step scalar/branch
+# overhead while keeping culling granularity = TRI_TILE
+CLUSTERS_PER_STEP = int(_os.environ.get("FLASH_CPS", "2"))
+
+# drop per-step vector->scalar syncs (in-kernel packet box test and
+# improvement gating); the prepass lists already cull statically
+SYNC_FREE = _os.environ.get("FLASH_SYNC_FREE", "1") == "1"
+
+
+def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
+                 any_hit, K, C):
+    tt = TRI_TILE
+    P = counts.shape[0]
+    r_pad = feats.shape[0]
+
+    def mat_spec(j):
+        return pl.BlockSpec(
+            (FEAT, 4 * tt),
+            lambda i, k, ids, cnt, j=j: (0, ids[i * K + k * C + j]),
+            memory_space=pltpu.VMEM)
+
+    common_in = [
+        pl.BlockSpec((RAY_TILE, FEAT), lambda i, k, ids, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_TILE, 1), lambda i, k, ids, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster boxes
+    ]
+    common_in += [mat_spec(j) for j in range(C)]
+    common_in += [mat_spec(j) for j in range(C)]
+    args = ([feats, tmax, fs.cluster_box]
+            + [fs.trimat_hi] * C + [fs.trimat_lo] * C)
+
+    if any_hit:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(P, K // C),
+            in_specs=common_in,
+            out_specs=pl.BlockSpec(
+                (RAY_TILE, 1), lambda i, k, ids, cnt: (i, 0),
+                memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            functools.partial(_sparse_anyhit_kernel, t_min=t_min, tt=tt,
+                              kk=K, cps=C),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            interpret=interpret,
+        )(ids, counts, *args)
+
+    out_specs = [
+        pl.BlockSpec((RAY_TILE, 4), lambda i, k, ids, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_TILE, 1), lambda i, k, ids, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+    ]
+    if with_attrs:
+        for j in range(C):
+            common_in.append(pl.BlockSpec(
+                (tt, ATTR),
+                lambda i, k, ids, cnt, j=j: (ids[i * K + k * C + j], 0),
+                memory_space=pltpu.VMEM))
+            args.append(fs.attrs)
+        out_specs.append(
+            pl.BlockSpec((RAY_TILE, ATTR), lambda i, k, ids, cnt: (i, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((r_pad, ATTR), jnp.float32))
+
+    kernel = functools.partial(_sparse_closest_kernel, t_min=t_min,
+                               tt=tt, kk=K, cps=C, with_attrs=with_attrs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, K // C),
+        in_specs=common_in,
+        out_specs=out_specs,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(ids, counts, *args)
+
+
+def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
+                       interpret, with_attrs, any_hit=False,
+                       k_cap=MAX_CLUSTERS):
+    R = origin.shape[0]
+    r_pad = max(RAY_TILE, -(-R // RAY_TILE) * RAY_TILE)
+    origin = _pad_rays(origin, r_pad)
+    direction = _pad_rays(
+        direction, r_pad, fill=1.0) if r_pad != R else direction
+    feats = _features(origin, direction, fs.center)
+    tmax = _pad_rays(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))[:, None],
+        r_pad,
+    )
+    C = max(1, CLUSTERS_PER_STEP)
+    k_eff = max(C, -(-min(fs.num_tri_tiles, k_cap) // C) * C)
+    ids, counts = packet_cluster_lists(
+        fs, origin, direction, tmax[:, 0], t_min=t_min, k_list=k_eff)
+    P = counts.shape[0]
+    K = ids.shape[0] // P
+
+    # chunk the packet dim if the prefetch tables exceed the SMEM budget
+    chunk_p = max(1, _SMEM_ENTRY_BUDGET // K)
+    chunks = []
+    for p0 in range(0, P, chunk_p):
+        p1 = min(P, p0 + chunk_p)
+        sl = slice(p0 * RAY_TILE, p1 * RAY_TILE)
+        chunks.append(_sparse_call(
+            fs, feats[sl], tmax[sl], ids[p0 * K : p1 * K], counts[p0:p1],
+            t_min, interpret, with_attrs, any_hit, K, C))
+
+    if any_hit:
+        vis = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+        return vis[:R, 0].astype(jnp.float32)
+
+    if len(chunks) == 1:
+        outs = chunks[0]
+    else:
+        outs = [jnp.concatenate(parts) for parts in zip(*chunks)]
+    best, tid = outs[0], outs[1]
+    t = best[:R, 0]
+    tid = tid[:R, 0]
+    missed = tid < 0
+    hit = Hit(
+        t=t,
+        tri_id=jnp.where(missed, -1, jnp.minimum(tid, fs.num_tris - 1)),
+        u=best[:R, 1],
+        v=best[:R, 2],
+    )
+    if with_attrs:
+        return hit, outs[2][:R]
+    return hit
+
+
+def flash_closest_hit_sparse(fs, origin, direction, t_max, t_min=1e-3,
+                             interpret=False):
+    """v2 closest hit (sparse cluster lists + bf16x3 + numerator-space)."""
+    return _flash_sparse_impl(fs, origin, direction, t_max, t_min,
+                              interpret, with_attrs=False)
+
+
+def flash_closest_hit_attrs_sparse(fs, origin, direction, t_max, t_min=1e-3,
+                                   interpret=False):
+    """v2 closest hit + fused surface-attribute fetch."""
+    return _flash_sparse_impl(fs, origin, direction, t_max, t_min,
+                              interpret, with_attrs=True)
+
+
+def flash_visibility_sparse(fs, origin, direction, t_max, t_min=1e-3,
+                            interpret=False):
+    """v2 any-hit visibility (1.0 = unoccluded)."""
+    return _flash_sparse_impl(fs, origin, direction, t_max, t_min,
+                              interpret, with_attrs=False, any_hit=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

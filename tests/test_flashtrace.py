@@ -104,3 +104,93 @@ def test_make_tracers_flash_method():
     assert abs(float(hit.t[0]) - 4.0) < 1e-3
     assert float(vis(o, d, jnp.asarray([10.0]))[0]) == 0.0
     assert float(vis(o, d, jnp.asarray([2.0]))[0]) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# v2 sparse (cluster-culled) path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ntri", [37, 1500])
+def test_sparse_closest_matches_brute(ntri):
+    tri = _random_tris(ntri, seed=5)
+    o, d = _random_rays(300, seed=6, aim_at=tri.mean(axis=1))
+    fs = flashtrace.make_flash_scene(jnp.asarray(tri))
+    hit = flashtrace.flash_closest_hit_sparse(
+        fs, jnp.asarray(o), jnp.asarray(d), jnp.full((300,), 1e5, jnp.float32),
+        interpret=True,
+    )
+    ref = intersect.closest_hit_brute(jnp.asarray(tri), jnp.asarray(o), jnp.asarray(d))
+    got_id = np.asarray(hit.tri_id)
+    ref_id = np.asarray(ref.tri_id)
+    np.testing.assert_array_equal(got_id >= 0, ref_id >= 0)
+    sel = ref_id >= 0
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[sel], np.asarray(ref.t)[sel], rtol=3e-4, atol=3e-4
+    )
+    assert (got_id[sel] == ref_id[sel]).mean() > 0.95
+    agree = sel & (got_id == ref_id)
+    np.testing.assert_allclose(
+        np.asarray(hit.u)[agree], np.asarray(ref.u)[agree], atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(hit.v)[agree], np.asarray(ref.v)[agree], atol=3e-3
+    )
+
+
+def test_sparse_visibility_matches_brute():
+    tri = _random_tris(900, seed=7)
+    o, d = _random_rays(300, seed=8, aim_at=tri.mean(axis=1))
+    fs = flashtrace.make_flash_scene(jnp.asarray(tri))
+    vis = flashtrace.flash_visibility_sparse(
+        fs, jnp.asarray(o), jnp.asarray(d), jnp.full((300,), 1e5, jnp.float32),
+        interpret=True,
+    )
+    ref = intersect.occluded_brute(
+        jnp.asarray(tri), jnp.asarray(o), jnp.asarray(d),
+        jnp.full((300,), 1e5, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(vis), np.asarray(ref))
+
+
+def test_sparse_attrs_match_dense():
+    tri = _random_tris(700, seed=9)
+    rs = np.random.RandomState(10)
+    tn = rs.normal(size=(700, 3, 3)).astype(np.float32)
+    tn /= np.linalg.norm(tn, axis=-1, keepdims=True)
+    uv = rs.uniform(size=(700, 3, 2)).astype(np.float32)
+    mat = rs.randint(0, 5, size=(700,)).astype(np.int32)
+    mesh = rs.randint(0, 3, size=(700,)).astype(np.int32)
+    fs = flashtrace.make_flash_scene(
+        jnp.asarray(tri), jnp.asarray(tn), jnp.asarray(uv),
+        jnp.asarray(mat), jnp.asarray(mesh))
+    o, d = _random_rays(256, seed=11, aim_at=tri.mean(axis=1))
+    tm = jnp.full((256,), 1e5, jnp.float32)
+    hit_s, attr_s = flashtrace.flash_closest_hit_attrs_sparse(
+        fs, jnp.asarray(o), jnp.asarray(d), tm, interpret=True)
+    hit_d, attr_d = flashtrace.flash_closest_hit_attrs(
+        fs, jnp.asarray(o), jnp.asarray(d), tm, interpret=True)
+    same = np.asarray(hit_s.tri_id) == np.asarray(hit_d.tri_id)
+    assert same.mean() > 0.95
+    np.testing.assert_allclose(
+        np.asarray(attr_s)[same], np.asarray(attr_d)[same], atol=3e-3)
+
+
+def test_packet_lists_no_overflow_on_scenes():
+    """Our scenes' coherent packets must fit MAX_CLUSTERS (completeness
+    condition of the sparse tracer)."""
+    from hybrid_rendering_tpu.scene.scenes import load_scene
+
+    for name in ("shadows_test", "gi_test"):
+        scene, light, camkw = load_scene(name)
+        fs = flashtrace.make_flash_scene(scene.tri_pos)
+        # camera-style coherent packet
+        R = 2048
+        o = np.asarray(camkw["eye"], np.float32)[None].repeat(R, 0)
+        rs = np.random.RandomState(12)
+        d = rs.normal(scale=0.08, size=(R, 3)).astype(np.float32)
+        d += np.float32([0, -0.2, -1.0])
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ids, counts = flashtrace.packet_cluster_lists(
+            fs, jnp.asarray(o), jnp.asarray(d),
+            jnp.full((R,), 1e4, jnp.float32))
+        assert int(np.asarray(counts).max()) <= flashtrace.MAX_CLUSTERS

@@ -1,0 +1,100 @@
+"""Micro-benchmark: FlashTrace v1 (dense) vs v2 (sparse cluster lists)
+on realistic ray loads — camera primary rays and shadow rays at 1080p,
+block-linearized into coherent 256-ray packets."""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timeit(fn, *args, iters=5):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_rendering_tpu.ops import bvh as bvh_mod
+    from hybrid_rendering_tpu.ops.pallas import flashtrace as ft
+    from hybrid_rendering_tpu.scene.scenes import load_scene
+    from hybrid_rendering_tpu.utils import camera as camera_utils
+
+    scene, light, camkw = load_scene(
+        sys.argv[1] if len(sys.argv) > 1 else "shadows_test")
+    W, H = 1920, 1080
+    cam = camera_utils.make_camera(
+        eye=camkw["eye"], target=camkw["target"], width=W, height=H)
+    fs = ft.make_flash_scene(scene.tri_pos, scene.tri_normal, scene.tri_uv,
+                             scene.tri_mat, scene.tri_mesh_id)
+    print(f"tris={fs.num_tris} tiles={fs.num_tri_tiles} "
+          f"tile={ft.TRI_TILE}", flush=True)
+
+    # camera rays, block-linearized into coherent packets
+    o_img, d_img = camera_utils.camera_rays(cam, W, H)
+    b = bvh_mod._pick_block(H, W)
+    o = bvh_mod._block_linearize(o_img, H, W, b)
+    d = bvh_mod._block_linearize(d_img, H, W, b)
+    tm = jnp.full((H * W,), 1e4, jnp.float32)
+
+    ids, counts = jax.jit(
+        lambda oo, dd, t: ft.packet_cluster_lists(fs, oo, dd, t))(o, d, tm)
+    c = np.asarray(counts)
+    print(f"primary packets: clusters/packet mean={c.mean():.2f} "
+          f"max={c.max()} of {fs.num_tri_tiles}", flush=True)
+
+    for name, fn in [
+        ("closest_attrs v1", lambda oo, dd, t: ft.flash_closest_hit_attrs(
+            fs, oo, dd, t)),
+        ("closest_attrs v2", lambda oo, dd, t:
+            ft.flash_closest_hit_attrs_sparse(fs, oo, dd, t)),
+    ]:
+        ms = timeit(jax.jit(fn), o, d, tm)
+        print(f"{name}: {ms:.1f} ms  ({H*W/ms/1e3:.1f} Mrays/s)", flush=True)
+
+    # shadow rays from primary hit points toward the light
+    hit, attrs = jax.jit(lambda oo, dd, t: ft.flash_closest_hit_attrs_sparse(
+        fs, oo, dd, t))(o, d, tm)
+    hitp = o + d * hit.t[:, None]
+    ldir = -jnp.asarray(light.direction)[None, :]
+    ldir = jnp.broadcast_to(ldir, hitp.shape)
+    so = hitp + 1e-2 * ldir
+    stm = jnp.where(hit.tri_id >= 0, 1e4, 0.0)
+
+    ids, counts = jax.jit(
+        lambda oo, dd, t: ft.packet_cluster_lists(fs, oo, dd, t))(so, ldir, stm)
+    c = np.asarray(counts)
+    print(f"shadow packets: clusters/packet mean={c.mean():.2f} max={c.max()}",
+          flush=True)
+    for name, fn in [
+        ("visibility v1", lambda oo, dd, t: ft.flash_visibility(
+            fs, oo, dd, t)),
+        ("visibility v2", lambda oo, dd, t: ft.flash_visibility_sparse(
+            fs, oo, dd, t)),
+    ]:
+        ms = timeit(jax.jit(fn), so, ldir, stm)
+        print(f"{name}: {ms:.1f} ms  ({H*W/ms/1e3:.1f} Mrays/s)", flush=True)
+
+    # correctness spot-check v1 vs v2 on device
+    h1 = jax.jit(lambda oo, dd, t: ft.flash_closest_hit(fs, oo, dd, t))(
+        o, d, tm)
+    same = (np.asarray(h1.tri_id) == np.asarray(hit.tri_id)).mean()
+    dt = np.abs(np.asarray(h1.t) - np.asarray(hit.t))
+    sel = np.asarray(h1.tri_id) >= 0
+    print(f"v1 vs v2 on TPU: tri agree={same:.4f} "
+          f"max|dt|={dt[sel].max():.2e}")
+
+
+if __name__ == "__main__":
+    main()
