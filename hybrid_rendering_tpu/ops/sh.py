@@ -50,6 +50,28 @@ def project_sky_sh9(sky_radiance_fn, num_samples: int = 4096, seed: int = 0):
     return coeffs  # (9,3)
 
 
+def project_equirect_sh9(img) -> jnp.ndarray:
+    """Exact SH-9 projection of an equirect HDR map (the dw
+    CubemapSHProjection equivalent for file-based environments,
+    common.cpp:614-622). Texel solid angle = sin(theta) dtheta dphi.
+    Returns (9,3)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    theta = (np.arange(h) + 0.5) / h * np.pi  # v=0 -> +Y pole
+    phi = ((np.arange(w) + 0.5) / w - 0.5) * 2.0 * np.pi
+    st = np.sin(theta)
+    # dir convention matches _dir_to_equirect_uv (ops/envmap.py)
+    dy = np.cos(theta)[:, None] * np.ones((1, w))
+    dx = st[:, None] * np.cos(phi)[None, :]
+    dz = st[:, None] * np.sin(phi)[None, :]
+    dirs = jnp.asarray(np.stack([dx, dy, dz], -1).reshape(-1, 3))
+    weights = (st[:, None] * np.ones((1, w))).reshape(-1)
+    weights = weights * (np.pi / h) * (2.0 * np.pi / w)
+    basis = _sh_basis(dirs)  # (N,9)
+    rad = jnp.asarray(img.reshape(-1, 3))
+    return jnp.einsum("nc,nk,n->kc", rad, basis, jnp.asarray(weights))
+
+
 # cosine-convolution factors for irradiance (Ramamoorthi & Hanrahan)
 _A = jnp.asarray(
     [np.pi, 2.0943951, 2.0943951, 2.0943951, 0.785398, 0.785398, 0.785398,
@@ -103,6 +125,19 @@ def brdf_integrate_lut(size: int = 32, num_samples: int = 256, seed: int = 7):
 
     (a, b), _ = jax.lax.scan(accum, (jnp.zeros_like(NV), jnp.zeros_like(NV)), xi)
     return jnp.stack([a, b], -1) / num_samples
+
+
+def make_image_env_fallbacks(env):
+    """(irradiance_fn, prefiltered_fn) for an EquirectEnvironment: SH-9
+    irradiance from the exact equirect projection + the env's own
+    pre-blurred pyramid as the GGX prefilter chain (the full file-based
+    environment stack of common.cpp:597-625)."""
+    coeffs = project_equirect_sh9(np.asarray(env.levels[1]))
+
+    def irradiance_fn(n):
+        return eval_irradiance_sh9(coeffs, n)
+
+    return irradiance_fn, env.prefiltered
 
 
 def make_env_fallbacks(sky_radiance_fn, num_samples: int = 4096):

@@ -118,6 +118,101 @@ def read_png(data_or_path) -> np.ndarray:
     return img
 
 
+def write_hdr(path: str, img: np.ndarray):
+    """Write a Radiance RGBE (.hdr) file (flat scanlines, no RLE).
+
+    The reference loads its environments from .hdr equirect maps
+    (common.cpp:597-625 via the dw framework's stb_image HDR path); this
+    pair of functions is the TPU framework's RGBE codec."""
+    img = np.asarray(img, np.float32)
+    assert img.ndim == 3 and img.shape[2] == 3, "expected (H, W, 3)"
+    h, w = img.shape[:2]
+    maxc = np.max(img, axis=2)
+    # frexp: maxc = m * 2^e with m in [0.5, 1)
+    m, e = np.frexp(np.maximum(maxc, 1e-32))
+    scale = np.where(maxc > 1e-32, m * 256.0 / np.maximum(maxc, 1e-32), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None] + 0.5, 0, 255
+                            ).astype(np.uint8)
+    rgbe[..., 3] = np.where(maxc > 1e-32, e + 128, 0).astype(np.uint8)
+    header = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+              + f"-Y {h} +X {w}\n".encode())
+    with open(path, "wb") as f:
+        f.write(header + rgbe.tobytes())
+
+
+def _decode_rgbe(rgbe: np.ndarray) -> np.ndarray:
+    """(..., 4) uint8 RGBE -> (..., 3) float32 linear radiance."""
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
+def read_hdr(data_or_path) -> np.ndarray:
+    """Read a Radiance RGBE (.hdr) file -> (H, W, 3) float32 linear.
+
+    Supports flat scanlines, new-style (adaptive per-component) RLE, and
+    old-style repeat codes — the formats stb_image handles for the
+    reference's environment maps."""
+    if isinstance(data_or_path, (bytes, bytearray)):
+        data = bytes(data_or_path)
+    else:
+        with open(data_or_path, "rb") as f:
+            data = f.read()
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError("not a Radiance HDR file")
+    # header = lines until a blank line, then the resolution line
+    pos = 0
+    while True:
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl]
+        pos = nl + 1
+        if line == b"":
+            break
+    nl = data.index(b"\n", pos)
+    res = data[pos:nl].split()
+    pos = nl + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation: {res}")
+    h, w = int(res[1]), int(res[3])
+
+    buf = np.frombuffer(data, np.uint8, offset=pos)
+    out = np.zeros((h, w, 4), np.uint8)
+    i = 0
+    for y in range(h):
+        if w >= 8 and w < 32768 and i + 4 <= len(buf) and buf[i] == 2 \
+                and buf[i + 1] == 2 and (int(buf[i + 2]) << 8 | int(buf[i + 3])) == w:
+            i += 4  # new-style RLE: 4 component planes
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = int(buf[i])
+                    if count > 128:  # run
+                        out[y, x:x + count - 128, c] = buf[i + 1]
+                        x += count - 128
+                        i += 2
+                    else:  # literal
+                        out[y, x:x + count, c] = buf[i + 1:i + 1 + count]
+                        x += count
+                        i += 1 + count
+        else:  # flat / old-style RLE
+            x = 0
+            shift = 0
+            while x < w:
+                px = buf[i:i + 4]
+                i += 4
+                if px[0] == 1 and px[1] == 1 and px[2] == 1:  # old repeat
+                    count = int(px[3]) << shift
+                    out[y, x:x + count] = out[y, x - 1]
+                    x += count
+                    shift += 8
+                else:
+                    out[y, x] = px
+                    x += 1
+                    shift = 0
+    return _decode_rgbe(out)
+
+
 def rmse(a: np.ndarray, b: np.ndarray) -> float:
     """Root-mean-square error between two images (fidelity gate:
     <=2% vs GT, BASELINE.md north star)."""

@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--no-reflections", action="store_true")
     p.add_argument("--no-ddgi", action="store_true")
     p.add_argument("--no-taa", action="store_true")
+    p.add_argument("--env", default=None,
+                   help="environment: procedural sky (default), a named HDR "
+                        "(arches|basketball_court|environment|overcast), or "
+                        "a path to an equirect .hdr file "
+                        "(reference env combo, main.cpp:292-308)")
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--animate", action="store_true",
                    help="play the scene's demo camera spline")
@@ -105,9 +110,18 @@ def main():
         tonemap=ToneMapConfig(exposure=args.exposure),
     )
 
-    sky = PreethamSky.create(np.asarray(light.direction))
-    irr_fn, pref_fn = make_env_fallbacks(sky.radiance)
-    r = HybridRenderer(scene, cfg, sky.radiance, irr_fn, pref_fn)
+    if args.env:
+        from hybrid_rendering_tpu.ops.sh import make_image_env_fallbacks
+        from hybrid_rendering_tpu.scene.environments import load_environment
+
+        env = load_environment(args.env)
+        env_fn = env.radiance
+        irr_fn, pref_fn = make_image_env_fallbacks(env)
+    else:
+        sky = PreethamSky.create(np.asarray(light.direction))
+        env_fn = sky.radiance
+        irr_fn, pref_fn = make_env_fallbacks(env_fn)
+    r = HybridRenderer(scene, cfg, env_fn, irr_fn, pref_fn)
     print(f"scene={args.scene} {scene.num_triangles} tris, "
           f"{r.probe_grid.num_probes} probes, {jax.devices()[0].platform}",
           file=sys.stderr)
