@@ -347,7 +347,7 @@ def make_surface_tracer(scene: SceneArrays, method: str = "auto"):
 
         fs = flashtrace.make_flash_scene(
             scene.tri_pos, scene.tri_normal, scene.tri_uv,
-            scene.tri_mat, scene.tri_mesh_id,
+            scene.tri_mat, scene.tri_mesh_id, scene.tri_tangent,
         )
         interpret = not _is_tpu_backend()
         attrs_fn = (flashtrace.flash_closest_hit_attrs_sparse

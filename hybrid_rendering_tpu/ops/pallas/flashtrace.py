@@ -69,7 +69,8 @@ FEAT = 16  # 10 features padded to 16 lanes
 BIG_T = 3.0e38
 
 
-ATTR = 24  # per-tri attribute row: n0 n1 n2 (9) uv0..2 (6) mat mesh geo_n (5)
+ATTR = 24  # per-tri attribute row: n0 n1 n2 (9) uv0..2 (6) mat mesh
+#            geo_n (5) tangent.xyz + bitangent sign (4)
 
 
 MAX_CLUSTERS = 64  # static cap on per-packet cluster-list length (v2)
@@ -94,6 +95,7 @@ def make_flash_scene(
     tri_uv=None,
     tri_mat=None,
     tri_mesh=None,
+    tri_tangent=None,
 ) -> FlashScene:
     """Precompute the (10 x 4T) triangle matrix, tiled and column-grouped
     per TRI_TILE block: block j holds [det cols | t cols | u cols | v cols]
@@ -157,7 +159,12 @@ def make_flash_scene(
                          ((0, t_pad - T), (0, 0)))
         tmesh = jnp.pad(jnp.asarray(tri_mesh, jnp.float32)[:, None],
                         ((0, t_pad - T), (0, 0)))
-        attrs = jnp.concatenate([tn, tu, tm_col, tmesh, geo_n], axis=1)
+        parts = [tn, tu, tm_col, tmesh, geo_n]
+        if tri_tangent is not None:
+            parts.append(jnp.pad(
+                jnp.asarray(tri_tangent, jnp.float32),
+                ((0, t_pad - T), (0, 0))))
+        attrs = jnp.concatenate(parts, axis=1)
         attrs = jnp.pad(attrs, ((0, 0), (0, ATTR - attrs.shape[1])))
 
     trimat = jnp.asarray(trimat)

@@ -20,12 +20,47 @@ from hybrid_rendering_tpu.types import Material, SceneArrays
 
 @dataclasses.dataclass
 class MaterialDef:
+    """Material row mirroring the reference's 4-map material SSBO with
+    per-channel roughness/metallic selectors
+    (src/shaders/scene_descriptor_set.glsl:20-24, 180-228)."""
+
     albedo: Tuple[float, float, float] = (0.8, 0.8, 0.8)
     roughness: float = 0.5
     metallic: float = 0.0
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     albedo_tex: int = -1  # AtlasBuilder texture index (multiplies albedo,
     #                        matching glTF baseColorFactor x texture)
+    normal_tex: int = -1  # tangent-space normal map
+    roughness_tex: int = -1
+    metallic_tex: int = -1
+    emissive_tex: int = -1  # multiplies emissive factor (glTF semantics)
+    roughness_channel: int = 1  # texel channel (glTF metallicRoughness: G)
+    metallic_channel: int = 2  # (glTF metallicRoughness: B)
+
+
+def _triangle_tangents(tp: np.ndarray, tuv: np.ndarray) -> np.ndarray:
+    """Per-triangle tangent + bitangent handedness from the UV
+    parameterization: (F,3,3) positions + (F,3,2) uvs -> (F,4)
+    [tangent.xyz, sign]. Replaces the reference's per-vertex Assimp
+    tangents (dw::Vertex tangent/bitangent, g_buffer.cpp:406-412)."""
+    e1 = tp[:, 1] - tp[:, 0]
+    e2 = tp[:, 2] - tp[:, 0]
+    d1 = tuv[:, 1] - tuv[:, 0]  # (F,2)
+    d2 = tuv[:, 2] - tuv[:, 0]
+    det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
+    ok = np.abs(det) > 1e-12
+    r = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+    t = r * (d2[:, 1:2] * e1 - d1[:, 1:2] * e2)
+    b = r * (d1[:, 0:1] * e2 - d2[:, 0:1] * e1)
+    n = np.cross(e1, e2)
+    # degenerate UVs: any stable vector perpendicular to the face normal
+    fallback = np.cross(n, np.where(
+        np.abs(n[:, 1:2]) < 0.9, [[0.0, 1.0, 0.0]], [[1.0, 0.0, 0.0]]))
+    t = np.where(ok[:, None] & (np.linalg.norm(t, axis=1, keepdims=True)
+                                > 1e-12), t, fallback)
+    t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-12)
+    sign = np.where(np.sum(np.cross(n, t) * b, axis=1) < 0.0, -1.0, 1.0)
+    return np.concatenate([t, sign[:, None]], axis=1).astype(np.float32)
 
 
 def translation(x, y, z) -> np.ndarray:
@@ -61,6 +96,7 @@ class SceneBuilder:
         self._tri_pos: List[np.ndarray] = []
         self._tri_nrm: List[np.ndarray] = []
         self._tri_uv: List[np.ndarray] = []
+        self._tri_tan: List[np.ndarray] = []
         self._tri_mat: List[np.ndarray] = []
         self._tri_mesh: List[np.ndarray] = []
         self._materials: List[MaterialDef] = []
@@ -92,6 +128,8 @@ class SceneBuilder:
         self._tri_pos.append(world_pos[idx])  # (F,3,3)
         self._tri_nrm.append(world_nrm[idx])
         self._tri_uv.append(mesh.uvs[idx])
+        self._tri_tan.append(
+            _triangle_tangents(world_pos[idx], mesh.uvs[idx]))
         f = idx.shape[0]
         self._tri_mat.append(np.full((f,), material, np.int32))
         self._tri_mesh.append(np.full((f,), self._next_mesh_id, np.int32))
@@ -106,14 +144,24 @@ class SceneBuilder:
         tri_mat = np.concatenate(self._tri_mat, axis=0)
         tri_mesh = np.concatenate(self._tri_mesh, axis=0)
 
+        tri_tan = np.concatenate(self._tri_tan, axis=0).astype(np.float32)
+
+        def icol(name):
+            return jnp.asarray(
+                [getattr(m, name) for m in self._materials], jnp.int32)
+
         mats = Material(
             albedo=jnp.asarray([m.albedo for m in self._materials], jnp.float32),
             roughness=jnp.asarray([m.roughness for m in self._materials], jnp.float32),
             metallic=jnp.asarray([m.metallic for m in self._materials], jnp.float32),
             emissive=jnp.asarray([m.emissive for m in self._materials], jnp.float32),
-            albedo_tex=jnp.asarray(
-                [m.albedo_tex for m in self._materials], jnp.int32
-            ),
+            albedo_tex=icol("albedo_tex"),
+            normal_tex=icol("normal_tex"),
+            roughness_tex=icol("roughness_tex"),
+            metallic_tex=icol("metallic_tex"),
+            emissive_tex=icol("emissive_tex"),
+            roughness_channel=icol("roughness_channel"),
+            metallic_channel=icol("metallic_channel"),
         )
         atlas = self._atlas.build()
 
@@ -134,6 +182,7 @@ class SceneBuilder:
             tri_pos = tri_pos[order]
             tri_nrm = tri_nrm[order]
             tri_uv = tri_uv[order]
+            tri_tan = tri_tan[order]
             tri_mat = tri_mat[order]
             tri_mesh = tri_mesh[order]
             bvh_kw = dict(
@@ -150,6 +199,7 @@ class SceneBuilder:
             tri_mat=jnp.asarray(tri_mat),
             tri_mesh_id=jnp.asarray(tri_mesh),
             materials=mats,
+            tri_tangent=jnp.asarray(tri_tan),
             atlas=atlas,
             **bvh_kw,
         )

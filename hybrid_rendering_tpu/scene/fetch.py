@@ -52,7 +52,7 @@ def surface_from_attrs(scene: SceneArrays, origin, direction, hit: Hit,
     mat_id = jnp.where(valid, mat_id, 0)
     albedo = take_rows_onehot(mats.albedo, mat_id)
     albedo = _apply_albedo_texture(scene, albedo, mat_id, uv, valid)
-    return Surface(
+    surf = Surface(
         position=position,
         normal=normal,
         geo_normal=geo_n,
@@ -64,6 +64,15 @@ def surface_from_attrs(scene: SceneArrays, origin, direction, hit: Hit,
         mesh_id=jnp.where(valid, mesh_id, -1),
         mat_id=mat_id,
     )
+    # tangent travels in attr lanes 20:24 (ops/pallas/flashtrace.py ATTR)
+    return apply_material_maps(scene, surf, attrs[..., 20:24], valid)
+
+
+def _mat_int_col(col, mat_id):
+    """Per-pixel int column lookup from the small material table."""
+    return jnp.round(
+        take_rows_onehot(col.astype(jnp.float32)[:, None], mat_id)[..., 0]
+    ).astype(jnp.int32)
 
 
 def _apply_albedo_texture(scene, albedo, mat_id, uv, valid):
@@ -75,13 +84,96 @@ def _apply_albedo_texture(scene, albedo, mat_id, uv, valid):
         return albedo
     from hybrid_rendering_tpu.scene.textures import sample_atlas
 
-    tex_idx = jnp.round(
-        take_rows_onehot(
-            mats.albedo_tex.astype(jnp.float32)[:, None], mat_id
-        )[..., 0]
-    ).astype(jnp.int32)
+    tex_idx = _mat_int_col(mats.albedo_tex, mat_id)
     tex = sample_atlas(scene.atlas, tex_idx, uv, valid=valid)
     return albedo * tex[..., :3]
+
+
+def _select_channel(tex, channel, mat_id):
+    """Per-material texel channel selector (texture_indices1.zw,
+    scene_descriptor_set.glsl:204-218)."""
+    ch = _mat_int_col(channel, mat_id)
+    out = tex[..., 0]
+    for c in range(1, 4):
+        out = jnp.where(ch == c, tex[..., c], out)
+    return out
+
+
+def apply_material_maps(scene, surf: Surface, tangent4=None,
+                        valid=None) -> Surface:
+    """Apply the remaining material maps to a constant-material Surface:
+    tangent-space normal map (fetch_normal, scene_descriptor_set.glsl:190-
+    196 + get_normal_from_map:165-176), per-channel roughness/metallic
+    textures (fetch_roughness/fetch_metallic :200-218, incl. the 0.1
+    roughness floor), and emissive map (fetch_emissive :222-228; glTF
+    factor x texture). The albedo map is applied during the base fetch.
+
+    tangent4: (..., 4) [tangent.xyz, bitangent sign], or None to skip
+    normal mapping. No-op when the scene has no atlas."""
+    mats = scene.materials
+    if scene.atlas is None or mats.normal_tex is None:
+        return surf
+    from hybrid_rendering_tpu.scene.textures import sample_atlas
+
+    if valid is None:
+        valid = surf.mesh_id >= 0
+    mat_id = surf.mat_id
+    uv = surf.uv
+    normal = surf.normal
+    roughness = surf.roughness
+    metallic = surf.metallic
+    emissive = surf.emissive
+
+    if tangent4 is not None and _static_any(mats.normal_tex):
+        n_idx = _mat_int_col(mats.normal_tex, mat_id)
+        tex = sample_atlas(scene.atlas, n_idx, uv, valid=valid)
+        tn = tex[..., :3] * 2.0 - 1.0  # tangent-space normal
+        t = tangent4[..., :3]
+        # re-orthogonalize against the interpolated shading normal
+        t = normalize(t - normal * jnp.sum(t * normal, -1, keepdims=True))
+        b = tangent4[..., 3:4] * jnp.cross(normal, t)
+        mapped = normalize(
+            tn[..., 0:1] * t + tn[..., 1:2] * b + tn[..., 2:3] * normal)
+        use = (n_idx >= 0) & valid
+        normal = jnp.where(use[..., None], mapped, normal)
+
+    if _static_any(mats.roughness_tex):
+        r_idx = _mat_int_col(mats.roughness_tex, mat_id)
+        tex = sample_atlas(scene.atlas, r_idx, uv, valid=valid)
+        r_tex = _select_channel(tex, mats.roughness_channel, mat_id)
+        use = (r_idx >= 0) & valid
+        roughness = jnp.where(use, jnp.maximum(r_tex, 0.1), roughness)
+
+    if _static_any(mats.metallic_tex):
+        m_idx = _mat_int_col(mats.metallic_tex, mat_id)
+        tex = sample_atlas(scene.atlas, m_idx, uv, valid=valid)
+        m_tex = _select_channel(tex, mats.metallic_channel, mat_id)
+        use = (m_idx >= 0) & valid
+        metallic = jnp.where(use, m_tex, metallic)
+
+    if _static_any(mats.emissive_tex):
+        e_idx = _mat_int_col(mats.emissive_tex, mat_id)
+        tex = sample_atlas(scene.atlas, e_idx, uv, valid=valid)
+        use = (e_idx >= 0) & valid
+        emissive = jnp.where(
+            use[..., None], emissive * tex[..., :3], emissive)
+
+    return surf.replace(normal=normal, roughness=roughness,
+                        metallic=metallic, emissive=emissive)
+
+
+def _static_any(col):
+    """True when any material actually has this map. Material tables are
+    concrete at trace time (the scene is a captured constant), so unused
+    map fetches compile away entirely; conservatively True for tracers."""
+    if col is None:
+        return False
+    try:
+        import numpy as _np
+
+        return bool(_np.any(_np.asarray(col) >= 0))
+    except Exception:
+        return True
 
 
 def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
@@ -120,7 +212,7 @@ def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
     mats = scene.materials
     albedo = take_rows(mats.albedo, mat_id)
     albedo = _apply_albedo_texture(scene, albedo, mat_id, uv, hit.valid)
-    return Surface(
+    surf = Surface(
         position=position,
         normal=normal,
         geo_normal=geo_n,
@@ -132,3 +224,6 @@ def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
         mesh_id=take_rows(scene.tri_mesh_id, tid),
         mat_id=mat_id,
     )
+    tangent4 = (take_rows(scene.tri_tangent, tid)
+                if scene.tri_tangent is not None else None)
+    return apply_material_maps(scene, surf, tangent4, hit.valid)

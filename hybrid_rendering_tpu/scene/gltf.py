@@ -157,12 +157,25 @@ def load_gltf_scene(path: str, use_bvh: bool = True):
             base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
             emis = m.get("emissiveFactor", [0.0, 0.0, 0.0])
             base_tex = pbr.get("baseColorTexture", {}).get("index")
+            # metallicRoughness packs roughness in G, metallic in B
+            # (glTF 2.0 spec) — per-channel selectors mirror the
+            # reference's texture_indices1.zw (scene_descriptor_set.glsl)
+            mr_tex = builder_texture(
+                pbr.get("metallicRoughnessTexture", {}).get("index"))
             mdef = MaterialDef(
                 albedo=tuple(base[:3]),
                 roughness=float(pbr.get("roughnessFactor", 1.0)),
                 metallic=float(pbr.get("metallicFactor", 1.0)),
                 emissive=tuple(emis),
                 albedo_tex=builder_texture(base_tex),
+                normal_tex=builder_texture(
+                    m.get("normalTexture", {}).get("index")),
+                roughness_tex=mr_tex,
+                metallic_tex=mr_tex,
+                emissive_tex=builder_texture(
+                    m.get("emissiveTexture", {}).get("index")),
+                roughness_channel=1,
+                metallic_channel=2,
             )
         mat_map[key] = builder.add_material(mdef)
         return mat_map[key]

@@ -70,6 +70,10 @@ PRESETS: Dict[str, ScenePreset] = {
         ddgi_probe_distance=3.0, ddgi_normal_bias=0.4,
         ddgi_infinite_bounce_intensity=3.0,  # Sponza boost (main.cpp:1127-1138)
     ),
+    "sponza_hi": ScenePreset(
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.4,
+        ddgi_infinite_bounce_intensity=3.0,
+    ),
 }
 
 

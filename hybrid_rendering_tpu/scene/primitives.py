@@ -146,3 +146,73 @@ def torus_knot_stand_in(radius: float = 0.4, tube: float = 0.18,
             b = a + sides + 1
             idx.extend([[a, b, a + 1], [a + 1, b, b + 1]])
     return _mesh(p, n, uv, idx)
+
+
+def grid_mesh(nx: int = 64, nz: int = 64, size_x: float = 1.0,
+              size_z: float = 1.0) -> Mesh:
+    """Subdivided XZ plane (nx x nz cells), +Y normals, full [0,1] UVs —
+    the tessellation base for displaced hero geometry (the reference's
+    hero scenes are ~262k-triangle meshes, common.cpp:520-533)."""
+    xs = np.linspace(-size_x / 2, size_x / 2, nx + 1, dtype=np.float32)
+    zs = np.linspace(-size_z / 2, size_z / 2, nz + 1, dtype=np.float32)
+    zz, xx = np.meshgrid(zs, xs, indexing="ij")
+    p = np.stack([xx, np.zeros_like(xx), zz], -1).reshape(-1, 3)
+    n = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (len(p), 1))
+    uv = np.stack([(xx / size_x + 0.5), (zz / size_z + 0.5)], -1).reshape(-1, 2)
+    j, i = np.meshgrid(np.arange(nz), np.arange(nx), indexing="ij")
+    a = (j * (nx + 1) + i).reshape(-1)
+    b = a + 1
+    c = a + nx + 1
+    d = c + 1
+    idx = np.concatenate(
+        [np.stack([a, c, b], -1), np.stack([b, c, d], -1)], axis=0
+    ).astype(np.int32)
+    return _mesh(p, n, uv, idx)
+
+
+def _value_noise2(u, v, seed: int = 0, octaves: int = 4):
+    """Tileable-ish value noise on (u,v) grids — displacement source."""
+    out = np.zeros_like(u)
+    amp = 1.0
+    freq = 4.0
+    rs = np.random.RandomState(seed)
+    for _ in range(octaves):
+        gx = int(freq) + 1
+        g = rs.uniform(-1.0, 1.0, size=(gx + 1, gx + 1))
+        x = np.clip(u, 0, 1) * freq
+        y = np.clip(v, 0, 1) * freq
+        x0 = np.floor(x).astype(np.int32)
+        y0 = np.floor(y).astype(np.int32)
+        fx = x - x0
+        fy = y - y0
+        fx = fx * fx * (3 - 2 * fx)
+        fy = fy * fy * (3 - 2 * fy)
+        v00 = g[y0, x0]
+        v10 = g[y0, x0 + 1]
+        v01 = g[y0 + 1, x0]
+        v11 = g[y0 + 1, x0 + 1]
+        out = out + amp * (
+            v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
+            + v01 * (1 - fx) * fy + v11 * fx * fy
+        )
+        amp *= 0.5
+        freq *= 2.0
+    return out
+
+
+def displace(mesh: Mesh, amplitude: float, seed: int = 0,
+             octaves: int = 4) -> Mesh:
+    """Displace vertices along their normals by UV-space value noise and
+    recompute smooth vertex normals (area-weighted face-normal average)."""
+    h = _value_noise2(mesh.uvs[:, 0], mesh.uvs[:, 1], seed, octaves)
+    p = mesh.positions + mesh.normals * (h * amplitude)[:, None]
+    idx = mesh.indices
+    e1 = p[idx[:, 1]] - p[idx[:, 0]]
+    e2 = p[idx[:, 2]] - p[idx[:, 0]]
+    fn = np.cross(e1, e2)  # area-weighted
+    n = np.zeros_like(p)
+    for k in range(3):
+        np.add.at(n, idx[:, k], fn)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    n = np.where(ln > 1e-12, n / np.maximum(ln, 1e-12), mesh.normals)
+    return _mesh(p, n, mesh.uvs, idx)

@@ -115,15 +115,22 @@ class Camera:
 
 @struct.dataclass
 class Material:
-    """Flat material table row (reference: material SSBO,
-    src/shaders/scene_descriptor_set.glsl:180-228). Texture maps become
-    atlas rects in a later round; round-1 materials are constants."""
+    """Flat material table row — the reference's material SSBO with its
+    five per-map texture indices and roughness/metallic channel selectors
+    (src/shaders/scene_descriptor_set.glsl:20-24, 180-228). Texture
+    indices are -1 when the map is absent (constants used instead)."""
 
     albedo: Array  # (M,3)
     roughness: Array  # (M,)
     metallic: Array  # (M,)
     emissive: Array  # (M,3)
     albedo_tex: Array = None  # (M,) int32 atlas texture index, -1 = none
+    normal_tex: Array = None  # (M,) int32 tangent-space normal map
+    roughness_tex: Array = None  # (M,) int32
+    metallic_tex: Array = None  # (M,) int32
+    emissive_tex: Array = None  # (M,) int32
+    roughness_channel: Array = None  # (M,) int32 texel channel selector
+    metallic_channel: Array = None  # (M,) int32
 
 
 @struct.dataclass
@@ -144,6 +151,12 @@ class SceneArrays:
     tri_mesh_id: Array  # (T,) int32 submesh id (disocclusion identity,
     #                       reference g_buffer.cpp:141-176)
     materials: Material
+    # per-triangle tangent frame for normal mapping (xyz = tangent,
+    # w = bitangent handedness) — the reference interpolates per-vertex
+    # Assimp tangents (dw::Vertex, g_buffer.cpp:406-412); flat per-triangle
+    # tangents from the UV parameterization are equivalent for the maps'
+    # TBN transform. None for scenes without normal maps.
+    tri_tangent: Optional[Array] = None  # (T, 4)
     # texture atlas (None when the scene is untextured)
     atlas: Optional[Any] = None
     # BVH arrays (filled by ops.bvh.build_bvh; zeros when brute-force)

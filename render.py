@@ -32,7 +32,8 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--scene", default="shadows_test",
-                   help="shadows_test|reflections_test|gi_test|pica_pica|sponza")
+                   help="shadows_test|reflections_test|gi_test|pica_pica|"
+                        "sponza|sponza_hi (191k-tri hero scene)")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--frames", type=int, default=12,
