@@ -4,19 +4,29 @@ North-star metric (BASELINE.md): full hybrid pipeline (shadows + AO +
 reflections + DDGI + TAA + tonemap) at 1920x1080 on one TPU chip, target
 < 33 ms/frame. vs_baseline = 33 / measured_ms (>1 means faster than
 target).
+
+detail carries the per-round regression dashboard (VERDICT r1 #1/#8):
+  - passes_ms: cumulative-variant deltas per pass group
+  - sponza_hi_ms: the same pipeline on the 191k-triangle hero scene
+  - fidelity: pooled relative RMSE vs the GT path tracer on gi_test
+  - golden: on-device LDR vs the committed golden image (catches
+    Mosaic/bf16 numeric drift mechanically; gate 2%)
 """
 from __future__ import annotations
 
 import json
+import os
 import time
-from functools import partial
 
 import numpy as np
 
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "data", "golden", "gi_test_256.png")
 
-def main():
-    import jax
-    import jax.numpy as jnp
+
+def _build(scene_name, W, H, *, sh=True, ao=True, rf=True, gi=True,
+           taa=True):
+    import dataclasses
 
     from hybrid_rendering_tpu.config import (
         AOConfig, DDGIConfig, ReflectionsConfig, RendererConfig,
@@ -25,61 +35,156 @@ def main():
     from hybrid_rendering_tpu.models.renderer import HybridRenderer
     from hybrid_rendering_tpu.ops.sh import make_env_fallbacks
     from hybrid_rendering_tpu.ops.sky import ProceduralSky
-    from hybrid_rendering_tpu.scene.scenes import load_scene
+    from hybrid_rendering_tpu.scene.presets import apply_preset
 
-    W, H = 1920, 1080
-    scene, light, camkw = load_scene("shadows_test")
+    base = RendererConfig(
+        width=W, height=H,
+        shadows=ShadowsConfig(scale=RayTraceScale.FULL, enabled=sh),
+        ao=AOConfig(scale=RayTraceScale.HALF, enabled=ao),
+        reflections=ReflectionsConfig(scale=RayTraceScale.HALF, enabled=rf),
+        ddgi=DDGIConfig(rays_per_probe=256, scale=RayTraceScale.HALF,
+                        enabled=gi),
+        taa=TAAConfig(enabled=taa),
+    )
+    scene, light, camkw, cfg, _ = apply_preset(scene_name, base)
+    cfg = cfg.replace(
+        shadows=dataclasses.replace(cfg.shadows, enabled=sh),
+        ao=dataclasses.replace(cfg.ao, enabled=ao),
+        reflections=dataclasses.replace(cfg.reflections, enabled=rf),
+        ddgi=dataclasses.replace(cfg.ddgi, enabled=gi),
+        taa=dataclasses.replace(cfg.taa, enabled=taa),
+    )
     sky = ProceduralSky.create(sun_direction=np.asarray(light.direction))
     irr_fn, pref_fn = make_env_fallbacks(sky.radiance)
-
-    # reference default operating point: shadows FULL, AO/reflections HALF
-    # (ray_traced_shadows.h:23, ray_traced_ao.h:23, ray_traced_reflections.h:24)
-    cfg = RendererConfig(
-        width=W, height=H,
-        shadows=ShadowsConfig(scale=RayTraceScale.FULL),
-        ao=AOConfig(scale=RayTraceScale.HALF),
-        reflections=ReflectionsConfig(scale=RayTraceScale.HALF),
-        ddgi=DDGIConfig(
-            probe_distance=4.0, rays_per_probe=256, scale=RayTraceScale.HALF
-        ),
-        taa=TAAConfig(enabled=True),
-    )
     r = HybridRenderer(scene, cfg, sky.radiance, irr_fn, pref_fn)
+    return r, light, camkw
+
+
+def _time_frames(r, light, camkw, iters=10):
+    import jax
 
     step = jax.jit(r.render_frame, donate_argnums=(0,))
     state = r.create_state()
-    # pre-stage per-frame inputs on device: through the remote tunnel a
-    # host->device upload costs ~100 ms of latency per frame otherwise
     cam = jax.device_put(r.make_camera(camkw["eye"], camkw["target"], 0))
     light = jax.device_put(light)
-
     t0 = time.perf_counter()
     outputs, state = step(state, cam, light)
     outputs["ldr"].block_until_ready()
     compile_s = time.perf_counter() - t0
-
-    iters = 10
     t0 = time.perf_counter()
-    for i in range(iters):
+    for _ in range(iters):
         outputs, state = step(state, cam, light)
     outputs["ldr"].block_until_ready()
     ms = (time.perf_counter() - t0) / iters * 1e3
+    return ms, compile_s, outputs
+
+
+def main():
+    import jax
+
+    bench_t0 = time.perf_counter()
+
+    def budget_left(cap_s=1500.0):
+        return (time.perf_counter() - bench_t0) < cap_s
+
+    W, H = 1920, 1080
+    detail = {"resolution": f"{W}x{H}", "target_ms": 33.0,
+              "device": str(jax.devices()[0])}
+
+    # --- main metric: full pipeline on shadows_test ---
+    r, light, camkw = _build("shadows_test", W, H)
+    ms, compile_s, _ = _time_frames(r, light, camkw)
+    detail.update(
+        passes="gbuffer+shadows(F)+ao(H)+ddgi(256rpp)+reflections(H)"
+               "+deferred+taa+tonemap",
+        probes=r.probe_grid.num_probes,
+        triangles=int(r.scene.num_triangles),
+        compile_s=round(compile_s, 1),
+        scene="shadows_test (pillars)",
+    )
+
+    # --- per-pass breakdown via cumulative variants ---
+    try:
+        passes_ms = {}
+        prev = None
+        for name, kw in (
+            ("gbuffer+deferred", dict(sh=False, ao=False, rf=False,
+                                      gi=False, taa=False)),
+            ("shadows", dict(sh=True, ao=False, rf=False, gi=False,
+                             taa=False)),
+            ("ao", dict(sh=True, ao=True, rf=False, gi=False, taa=False)),
+            ("ddgi", dict(sh=True, ao=True, rf=False, gi=True, taa=False)),
+            ("reflections", dict(sh=True, ao=True, rf=True, gi=True,
+                                 taa=False)),
+            ("taa", dict(sh=True, ao=True, rf=True, gi=True, taa=True)),
+        ):
+            if not budget_left():
+                passes_ms["skipped"] = "wall-clock budget"
+                break
+            rv, lv, cv = _build("shadows_test", W, H, **kw)
+            m, _, _ = _time_frames(rv, lv, cv, iters=5)
+            passes_ms[name] = round(m if prev is None else m - prev, 2)
+            prev = m
+        detail["passes_ms"] = passes_ms
+    except Exception as e:  # noqa: BLE001 — keep the JSON line alive
+        detail["passes_ms_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # --- hero scene at reference scale ---
+    try:
+        if not budget_left(1800.0):
+            raise TimeoutError("wall-clock budget")
+        rh, lh, ch = _build("sponza_hi", W, H)
+        hero_ms, hero_compile, _ = _time_frames(rh, lh, ch, iters=5)
+        detail["sponza_hi_ms"] = round(hero_ms, 2)
+        detail["sponza_hi_triangles"] = int(rh.scene.num_triangles)
+    except Exception as e:  # noqa: BLE001
+        detail["sponza_hi_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # --- fidelity vs GT on gi_test (tracked per round, VERDICT r2 #3) ---
+    try:
+        from hybrid_rendering_tpu.utils.oracle import fidelity_report
+
+        rg, lg, cg = _build("gi_test", 256, 256, taa=False)
+        cam = rg.make_camera(cg["eye"], cg["target"], 0)
+        rep = fidelity_report(rg, cam, lg, hybrid_frames=32, gt_spp=96)
+        detail["fidelity"] = {
+            "pooled_relative_rmse": round(rep["pooled_relative_rmse"], 4),
+            "relative_rmse": round(rep["relative_rmse"], 4),
+            "gate": 0.05,
+        }
+        ldr = rep["hybrid_ldr"]
+    except Exception as e:  # noqa: BLE001
+        detail["fidelity_error"] = f"{type(e).__name__}: {e}"[:200]
+        ldr = None
+
+    # --- golden-image drift check (TPU numerics regression harness) ---
+    try:
+        from hybrid_rendering_tpu.utils import image as img_utils
+
+        if ldr is not None:
+            if os.path.exists(GOLDEN_PATH):
+                golden = img_utils.read_png(GOLDEN_PATH)
+                drift = img_utils.relative_rmse(ldr, golden)
+                detail["golden"] = {"relative_rmse": round(drift, 4),
+                                    "ok": bool(drift <= 0.02)}
+                if drift > 0.02:
+                    import sys
+
+                    print(f"GOLDEN DRIFT {drift:.4f} > 0.02 vs "
+                          f"{GOLDEN_PATH}", file=sys.stderr)
+            else:
+                os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+                img_utils.write_png(GOLDEN_PATH, ldr)
+                detail["golden"] = {"created": True}
+    except Exception as e:  # noqa: BLE001
+        detail["golden_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "hybrid_pipeline_1080p",
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(33.0 / ms, 3),
-        "detail": {
-            "resolution": f"{W}x{H}",
-            "passes": "gbuffer+shadows(F)+ao(H)+ddgi(256rpp)+reflections(H)+deferred+taa+tonemap",
-            "probes": r.probe_grid.num_probes,
-            "triangles": int(scene.num_triangles),
-            "compile_s": round(compile_s, 1),
-            "scene": "shadows_test (pillars)",
-            "device": str(jax.devices()[0]),
-            "target_ms": 33.0,
-        },
+        "detail": detail,
     }))
 
 

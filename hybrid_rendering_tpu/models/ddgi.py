@@ -90,6 +90,12 @@ class DDGIState:
     irradiance: jax.Array  # (P, S, S, 3), S = irradiance_oct_size
     depth: jax.Array  # (P, D, D, 2) mean / mean^2
     first_frame: jax.Array  # () int32 — gates infinite bounce + hysteresis
+    # frames accumulated since reset: drives the hysteresis warm-up ramp
+    # min(h, n/(n+1)) — an exact running mean until the EMA rate takes
+    # over (n >= h/(1-h)), with the reference's steady state unchanged.
+    # Plain 0.98 EMA from a cold start reaches only 38% of steady state
+    # after 24 frames, which read as "DDGI too dark" in fidelity runs.
+    accum_frames: jax.Array = None  # () int32
 
     @staticmethod
     def create(num_probes: int, cfg: DDGIConfig):
@@ -99,6 +105,7 @@ class DDGIState:
             irradiance=jnp.zeros((num_probes, s, s, 3), jnp.float32),
             depth=jnp.zeros((num_probes, d, d, 2), jnp.float32),
             first_frame=jnp.int32(1),
+            accum_frames=jnp.int32(0),
         )
 
 
@@ -254,7 +261,15 @@ def sample_irradiance(
 
     net = sum_irr / jnp.maximum(sum_w, 1e-9)[..., None]
     net = jnp.square(net) * cfg.energy_preservation
-    return 0.5 * jnp.pi * net
+    # Energy calibration: a cosine-weighted probe texel stores
+    # (integral L cos dw) / (integral cos dw) = E/pi, and deferred shading
+    # multiplies the sampled value straight by albedo (deferred.frag:162,
+    # no pi divide) — the Lambertian-exact chain is albedo x texel. The
+    # reference scales by an extra 0.5*pi here (gi_common.glsl:316),
+    # overshooting its own path-traced GT by 4/3 x energy_preservation
+    # (measured +28% mean brightness on converged gi_test); it never
+    # compares against GT numerically, our fidelity gate does.
+    return net
 
 
 def visualize_probes(
@@ -323,7 +338,9 @@ def make_irradiance_sampler(grid: ProbeGrid, cfg: DDGIConfig):
 
         return make_fast_sampler(grid, cfg, interpret=False)
 
-    def sample(state, p, n, wo):
+    def sample(state, p, n, wo, valid=None):
+        # per-point evaluation: validity only matters for the Pallas
+        # kernel's shared tile windows
         return sample_irradiance(grid, state, cfg, p, n, wo)
 
     return sample
@@ -422,7 +439,8 @@ def ddgi_update(
     # gated on first frame, ddgi.cpp:790)
     if cfg.infinite_bounces:
         if sampler is not None:
-            bounce = sampler(state, surf.position, surf.normal, -d)
+            bounce = sampler(state, surf.position, surf.normal, -d,
+                             valid=hit.valid)
         else:
             bounce = sample_irradiance(
                 grid, state, cfg, surf.position, surf.normal, -d
@@ -439,6 +457,12 @@ def ddgi_update(
     # --- probe update as shared-weight matmuls (gi_probe_update.glsl) ---
     energy_conservation = 0.95
 
+    # hysteresis warm-up: exact running mean of the first frames, easing
+    # into the reference's 0.98 EMA (see DDGIState.accum_frames)
+    n_acc = (state.accum_frames if state.accum_frames is not None
+             else jnp.int32(0)).astype(jnp.float32)
+    h_eff = jnp.minimum(jnp.float32(cfg.hysteresis), n_acc / (n_acc + 1.0))
+
     def update_atlas(values, side, weights_pow, prev, hysteresis):
         texel_dirs = _texel_directions(side)  # (T,3)
         cosw = jnp.maximum(0.0, texel_dirs @ ray_dirs.T)  # (T,R)
@@ -452,7 +476,7 @@ def ddgi_update(
         )
         result = acc / jnp.maximum(total, 1e-8)[None, :, None]
         result = result.reshape(P, side, side, C)
-        blended = result * (1.0 - hysteresis) + prev * hysteresis
+        blended = result * (1.0 - h_eff) + prev * h_eff
         out = jnp.where(state.first_frame > 0, result, blended)
         return out
 
@@ -471,7 +495,10 @@ def ddgi_update(
         state.depth, cfg.hysteresis,
     )
 
-    return DDGIState(irradiance=irr, depth=dep, first_frame=jnp.int32(0))
+    n_prev = (state.accum_frames if state.accum_frames is not None
+              else jnp.int32(0))
+    return DDGIState(irradiance=irr, depth=dep, first_frame=jnp.int32(0),
+                     accum_frames=n_prev + 1)
 
 
 def sample_probe_grid_screen(
@@ -486,7 +513,8 @@ def sample_probe_grid_screen(
     75-99) consumed by deferred shading."""
     wo = normalize(camera_position - gb.position)
     if sampler is not None:
-        irr = sampler(state, gb.position, gb.normal, wo)
+        irr = sampler(state, gb.position, gb.normal, wo,
+                      valid=gb.mesh_id >= 0)
     else:
         irr = sample_irradiance(grid, state, cfg, gb.position, gb.normal, wo)
     irr = irr * cfg.gi_intensity

@@ -132,10 +132,28 @@ def ray_trace(
         rng_shadow=rs.reshape(h, w, 2),
     ) + s_emis
 
+    # One merged probe-grid evaluation serves both DDGI consumers — the
+    # hit-point diffuse (rchit:87-111, needs_ray pixels) and the
+    # rough-pixel DDGI approximation along R (rgen:152-156, use_ddgi
+    # pixels). The two pixel sets are disjoint, so a single sampler call
+    # with per-pixel selected inputs is exact and halves the (expensive)
+    # probe-cage sampling.
+    gi_merged = None
+    want_hit_gi = cfg.sample_gi and gi_sample_fn is not None
+    want_ddgi_approx = cfg.approximate_with_ddgi and gi_sample_fn is not None
+    if want_hit_gi or want_ddgi_approx:
+        sel = use_ddgi[..., None]
+        gi_p = jnp.where(sel, p, sp)
+        gi_n = jnp.where(sel, mirror_dir, sn)
+        gi_wo = jnp.where(sel, wo, s_wo)
+        # validity keeps sky pixels / ray misses out of the sampler's
+        # shared tile-window bases (their outputs are masked anyway)
+        gi_valid = (use_ddgi & geom) | (needs_ray & hit.valid)
+        gi_merged = gi_sample_fn(gi_p, gi_n, gi_wo, valid=gi_valid)
+
     # indirect at the hit (rchit:87-111): DDGI diffuse + IBL specular
-    if cfg.sample_gi and gi_sample_fn is not None:
-        gi = gi_sample_fn(sp, sn, s_wo)
-        hit_color = hit_color + gi * c_diff * cfg.gi_intensity
+    if want_hit_gi:
+        hit_color = hit_color + gi_merged * c_diff * cfg.gi_intensity
     if env_prefiltered_fn is not None:
         refl_at_hit = reflect(-s_wo, sn)
         spec = env_prefiltered_fn(refl_at_hit, s_rough)
@@ -146,8 +164,8 @@ def ray_trace(
 
     color = jnp.where(hit_valid[..., None], hit_color, miss_color)
     # rough pixels approximated with DDGI along R (rgen:152-156)
-    if cfg.approximate_with_ddgi and gi_sample_fn is not None:
-        ddgi_color = gi_sample_fn(p, mirror_dir, wo) * cfg.rough_ddgi_intensity
+    if want_ddgi_approx:
+        ddgi_color = gi_merged * cfg.rough_ddgi_intensity
         color = jnp.where(use_ddgi[..., None], ddgi_color, color)
 
     color = jnp.minimum(color, cfg.firefly_clamp)  # rgen:168

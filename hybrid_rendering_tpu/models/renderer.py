@@ -200,8 +200,8 @@ class HybridRenderer:
                     state.frame_index, cfg.ddgi, sampler=self.gi_sampler,
                 )
 
-            def gi_sample_fn(p, n, wo, _st=ddgi_state):
-                return self.gi_sampler(_st, p, n, wo)
+            def gi_sample_fn(p, n, wo, valid=None, _st=ddgi_state):
+                return self.gi_sampler(_st, p, n, wo, valid=valid)
 
             with jax.named_scope("ddgi_sample_screen"):
                 gb_g = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ddgi.scale))

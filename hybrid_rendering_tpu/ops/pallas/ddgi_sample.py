@@ -29,7 +29,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_PTS = 256
-W_PROBES = 144  # 3x3 (y,z) window rows x 16-probe aligned x-runs
+# depth atlas resolution cap in the kernel: 16 = full reference res (zero
+# Chebyshev deviation); 8 = 2x-downsampled (pooled variance, ~4% rel RMSE
+# on real frames — acceptable only if perf demands it)
+DEPTH_SIDE_MAX = 16
+# Window shape: 4x4 (y,z) cells x 16-probe aligned x-runs. 4x4 is free
+# compute-wise over 3x3 (144 lanes already padded to 256) and the 16-run
+# covers up to 7 cells of x beyond the base — coverage measured on real
+# gi_test frames went 43% (3x3, x<=2) -> 93% (VERDICT r2 fidelity work).
+W_WIN = 4
+W_PROBES = W_WIN * W_WIN * 16
 
 
 def _sign_not_zero(v):
@@ -46,6 +55,31 @@ def _oct_encode_cols(dx, dy, dz):
     fold_y = (1.0 - jnp.abs(px)) * _sign_not_zero(py)
     neg = dz < 0.0
     return jnp.where(neg, fold_x, px), jnp.where(neg, fold_y, py)
+
+
+def _oct_texel_taps_clamped_cols(dx, dy, dz, side):
+    """4 bilinear octahedral taps with edge CLAMP instead of the mirrored
+    wrap — used for the kernel's depth taps: the wrap's ~28-select column
+    math dominated the visibility cost, and clamped corners at the oct
+    seam only perturb the depth direction by under half a texel (bounded
+    by the full-frame RMSE gate)."""
+    u, v = _oct_encode_cols(dx, dy, dz)
+    tx = (u * 0.5 + 0.5) * side - 0.5
+    ty = (v * 0.5 + 0.5) * side - 0.5
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    fx = tx - x0
+    fy = ty - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    taps = []
+    for oy in range(2):
+        for ox in range(2):
+            w = (fx if ox else 1 - fx) * (fy if oy else 1 - fy)
+            xi = jnp.clip(x0 + ox, 0, side - 1)
+            yi = jnp.clip(y0 + oy, 0, side - 1)
+            taps.append((yi * side + xi, w))
+    return taps
 
 
 def _oct_texel_taps_cols(dx, dy, dz, side):
@@ -91,9 +125,10 @@ def _oct_texel_taps_cols(dx, dy, dz, side):
 
 
 def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
-                 irr_side, dep_side):
+                 irr_side, dep_side, tile):
     Px, Py, Pz = (int(c) for c in grid_counts)
     Pxy = Px * Py
+    TILE_PTS = tile  # shadows the module default (64 for small frames)
     s0, s1, s2 = (float(v) for v in grid_start)
     st0, st1, st2 = (float(v) for v in grid_step)
     (normal_bias, energy_preservation, visibility_test, gi_scale) = cfg_vals
@@ -106,42 +141,41 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
                out_ref, sc_irr, sc_dep, sems):
         t = pl.program_id(0)
         nt = pl.num_programs(0)
-        bx = bases_ref[t, 0]
-        by = bases_ref[t, 1]
-        bz = bases_ref[t, 2]
+        # per-tile window base packed 10 bits/axis into one i32 — a flat
+        # (ntiles,) scalar-prefetch operand stays small in SMEM (Mosaic
+        # pads the minor dim of 2-D scalar operands to 128 lanes: a
+        # (32400, 3) bases array cost 16.6 MB of the 1 MB SMEM)
+        bw = bases_ref[t]
+        bx = bw & 1023
+        by = (bw >> 10) & 1023
+        bz = (bw >> 20) & 1023
 
-        # Double-buffered probe-window DMA: the window for tile t+1 is
-        # prefetched while tile t computes (grid steps run sequentially on
-        # the core, so per-tile DMA latency — 36 copies — would otherwise
-        # dominate; measured 27 us/tile serial). Each (y,z) window row is a
-        # 16-probe x-run from an 8-ALIGNED row (Mosaic requires provably
-        # aligned dynamic offsets); the remainder folds into the per-pixel
-        # window index. The atlas is padded by 16 rows so runs never
-        # overrun.
-        def window_copies(tile, slot):
-            tbx = bases_ref[tile, 0]
-            tby = bases_ref[tile, 1]
-            tbz = bases_ref[tile, 2]
-            copies = []
-            idx = 0
-            for z in range(3):
-                for y in range(3):
-                    row = tbx + (tby + y) * Px + (tbz + z) * Pxy
-                    row_al = pl.multiple_of((row // 8) * 8, 8)
-                    k = (z * 3 + y) * 16
-                    copies.append(pltpu.make_async_copy(
-                        irr_ref.at[pl.ds(row_al, 16), :],
-                        sc_irr.at[slot, pl.ds(k, 16), :],
-                        sems.at[slot, idx],
-                    ))
-                    idx += 1
-                    copies.append(pltpu.make_async_copy(
-                        dep_ref.at[pl.ds(row_al, 16), :],
-                        sc_dep.at[slot, pl.ds(k, 16), :],
-                        sems.at[slot, idx],
-                    ))
-                    idx += 1
-            return copies
+        # Double-buffered probe-window DMA. The atlases are laid out 4-D
+        # (Pz, Py, Px_pad, lanes) so the whole 3x3x16 probe window is ONE
+        # DMA per atlas (the earlier 36 small per-row copies were
+        # DMA-issue-bound at ~27 us/tile). The x offset must be 8-aligned
+        # (sublane tiling); the remainder folds into the per-pixel window
+        # index. Px is padded by 16 so runs never overrun.
+        def window_copies(ti, slot):
+            tbw = bases_ref[ti]
+            tbx = tbw & 1023
+            tby = (tbw >> 10) & 1023
+            tbz = (tbw >> 20) & 1023
+            x_al = pl.multiple_of((tbx // 8) * 8, 8)
+            return [
+                pltpu.make_async_copy(
+                    irr_ref.at[pl.ds(tbz, W_WIN), pl.ds(tby, W_WIN),
+                               pl.ds(x_al, 16), :],
+                    sc_irr.at[slot],
+                    sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    dep_ref.at[pl.ds(tbz, W_WIN), pl.ds(tby, W_WIN),
+                               pl.ds(x_al, 16), :],
+                    sc_dep.at[slot],
+                    sems.at[slot, 1],
+                ),
+            ]
 
         cur = t % 2
         nxt = (t + 1) % 2
@@ -158,8 +192,9 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
 
         for c in window_copies(t, cur):
             c.wait()
-        sc_irr = sc_irr.at[cur]
-        sc_dep = sc_dep.at[cur]
+
+        irr_win = sc_irr.at[cur][...].reshape(W_PROBES, IRR_LANES)
+        dep_win = sc_dep.at[cur][...].reshape(W_PROBES, DEP_LANES)
 
         pts = pts_ref[:]
         px_, py_, pz_ = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -197,87 +232,117 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
                 lane_irr // 3 == ti[:, None], tw[:, None], 0.0
             )
 
-        for i in range(8):
-            ox_, oy_, oz_ = i & 1, (i >> 1) & 1, (i >> 2) & 1
-            cx = jnp.clip(bxp + ox_, 0, Px - 1)
-            cy = jnp.clip(byp + oy_, 0, Py - 1)
-            cz = jnp.clip(bzp + oz_, 0, Pz - 1)
-            wcx = jnp.clip(cx - bx, 0, 2)
-            wcy = jnp.clip(cy - by, 0, 2)
-            wcz = jnp.clip(cz - bz, 0, 2)
-            cx = bx + wcx
-            cy = by + wcy
-            cz = bz + wcz
-            # window row (y,z) occupies 16 scratch rows starting at
-            # (z*3+y)*16; the probe sits at wcx + (rowbase % 8) inside its
-            # 8-aligned 16-row run
-            rowbase = bx + (by + wcy) * Px + (bz + wcz) * Pxy
-            widx = wcx + (rowbase % 8) + (wcy + wcz * 3) * 16
+        # All 8 cage corners computed at once on a leading (8,) axis —
+        # cheap (8,256) elementwise math, and every matmul below runs ONCE
+        # over the folded (8*256, .) batch: 18 small latency-bound dots per
+        # tile (8x one-hot row fetch + 8x channel collect + 2 final) become
+        # 4 large ones. (No 1-D concatenates: Mosaic can't concat along a
+        # flat vector dim, so everything stays (8, 256) until the matmul
+        # reshape merges the leading axes.)
+        B = 8 * TILE_PTS
+        ci = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_PTS), 0)
+        ox_ = ci & 1
+        oy_ = (ci >> 1) & 1
+        oz_ = (ci >> 2) & 1
 
-            ppx = s0 + cx.astype(jnp.float32) * st0
-            ppy = s1 + cy.astype(jnp.float32) * st1
-            ppz = s2 + cz.astype(jnp.float32) * st2
+        cx = jnp.clip(bxp[None, :] + ox_, 0, Px - 1)
+        cy = jnp.clip(byp[None, :] + oy_, 0, Py - 1)
+        cz = jnp.clip(bzp[None, :] + oz_, 0, Pz - 1)
+        # x: probe sits at (bx % 8) + wcx inside the 8-aligned 16-probe
+        # run, so up to 7 cells beyond the base are exact; y/z: 4-cell
+        # window
+        wcx = jnp.clip(cx - bx, 0, 7)
+        wcy = jnp.clip(cy - by, 0, W_WIN - 1)
+        wcz = jnp.clip(cz - bz, 0, W_WIN - 1)
+        cx = bx + wcx
+        cy = by + wcy
+        cz = bz + wcz
+        # window row (y,z) occupies 16 scratch rows starting at
+        # (z*W_WIN+y)*16
+        widx = wcx + (bx % 8) + (wcy + wcz * W_WIN) * 16  # (8, T)
 
-            ptpx = px_ - ppx + biasx
-            ptpy = py_ - ppy + biasy
-            ptpz = pz_ - ppz + biasz
-            dist2 = ptpx * ptpx + ptpy * ptpy + ptpz * ptpz
-            dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        ppx = s0 + cx.astype(jnp.float32) * st0
+        ppy = s1 + cy.astype(jnp.float32) * st1
+        ppz = s2 + cz.astype(jnp.float32) * st2
 
-            tlx = ax if ox_ else 1.0 - ax
-            tly = ay if oy_ else 1.0 - ay
-            tlz = az if oz_ else 1.0 - az
-            tri_w = tlx * tly * tlz
+        ptpx = px_[None, :] - ppx + biasx[None, :]
+        ptpy = py_[None, :] - ppy + biasy[None, :]
+        ptpz = pz_[None, :] - ppz + biasz[None, :]
+        dist2 = ptpx * ptpx + ptpy * ptpy + ptpz * ptpz
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
 
-            tdx = ppx - px_
-            tdy = ppy - py_
-            tdz = ppz - pz_
-            td_len = jnp.sqrt(jnp.maximum(tdx * tdx + tdy * tdy + tdz * tdz,
-                                          1e-12))
-            cosw = (tdx * nx + tdy * ny + tdz * nz) / td_len
-            wgt = jnp.square(jnp.maximum(1e-4, (cosw + 1.0) * 0.5)) + 0.2
+        fo = ox_.astype(jnp.float32)
+        tlx = fo * ax[None, :] + (1.0 - fo) * (1.0 - ax[None, :])
+        fo = oy_.astype(jnp.float32)
+        tly = fo * ay[None, :] + (1.0 - fo) * (1.0 - ay[None, :])
+        fo = oz_.astype(jnp.float32)
+        tlz = fo * az[None, :] + (1.0 - fo) * (1.0 - az[None, :])
+        tri_w = tlx * tly * tlz  # (8, T)
 
-            oh = jnp.where(probe_iota == widx[:, None], 1.0, 0.0)  # (256,W)
+        tdx = ppx - px_[None, :]
+        tdy = ppy - py_[None, :]
+        tdz = ppz - pz_[None, :]
+        td_len = jnp.sqrt(jnp.maximum(tdx * tdx + tdy * tdy + tdz * tdz,
+                                      1e-12))
+        cosw = (tdx * nx[None, :] + tdy * ny[None, :] + tdz * nz[None, :]
+                ) / td_len
+        wgt_all = jnp.square(jnp.maximum(1e-4, (cosw + 1.0) * 0.5)) + 0.2
 
-            if visibility_test:
-                dep_rows = jnp.dot(oh, sc_dep[:], preferred_element_type=jnp.float32)
-                # bilinear depth taps toward the probe (dir = ptp normalized)
-                taps_d = _oct_texel_taps_cols(
-                    ptpx / dist, ptpy / dist, ptpz / dist, dep_side
-                )
-                mask_d = jnp.zeros((TILE_PTS, DEP_LANES), jnp.float32)
-                for tt, ww in taps_d:
-                    mask_d = mask_d + jnp.where(
-                        lane_dep // 2 == tt[:, None], ww[:, None], 0.0
-                    )
-                dsel = jnp.dot(dep_rows * mask_d, dcol_ref[:],
+        oh3 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, TILE_PTS, W_PROBES), 2)
+            == widx[:, :, None], 1.0, 0.0)  # (8, T, W)
+        oh2 = oh3.reshape(B, W_PROBES)
+
+        if visibility_test:
+            dep_rows = jnp.dot(oh2.astype(jnp.bfloat16),
+                               dep_win.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
-                mean = dsel[:, 0]
-                variance = jnp.abs(jnp.square(mean) - dsel[:, 1])
-                cheb = variance / (
-                    variance + jnp.square(jnp.maximum(dist - mean, 0.0)) + 1e-12
+            # clamped-bilinear depth taps toward the probe (dir = ptp
+            # normalized) on the full-res 16x16 atlas
+            taps_d = _oct_texel_taps_clamped_cols(
+                ptpx / dist, ptpy / dist, ptpz / dist, dep_side,
+            )
+            lane_dep3 = jax.lax.broadcasted_iota(
+                jnp.int32, (8, TILE_PTS, DEP_LANES), 2)
+            mask_d = jnp.zeros((8, TILE_PTS, DEP_LANES), jnp.float32)
+            for tt, ww in taps_d:
+                mask_d = mask_d + jnp.where(
+                    lane_dep3 // 2 == tt[:, :, None], ww[:, :, None], 0.0
                 )
-                cheb = jnp.maximum(cheb * cheb * cheb, 0.0)
-                wgt = wgt * jnp.where(dist <= mean, 1.0, cheb)
+            dsel = jnp.dot(dep_rows * mask_d.reshape(B, DEP_LANES),
+                           dcol_ref[:],
+                           preferred_element_type=jnp.float32)
+            dsel = dsel.reshape(8, TILE_PTS, 8)
+            mean = dsel[:, :, 0]
+            variance = jnp.abs(jnp.square(mean) - dsel[:, :, 1])
+            cheb = variance / (
+                variance + jnp.square(jnp.maximum(dist - mean, 0.0))
+                + 1e-12
+            )
+            cheb = jnp.maximum(cheb * cheb * cheb, 0.0)
+            wgt_all = wgt_all * jnp.where(dist <= mean, 1.0, cheb)
 
-            wgt = jnp.maximum(1e-6, wgt)
-            crush = 0.2
-            wgt = jnp.where(wgt < crush, wgt * wgt * wgt / (crush * crush), wgt)
-            wgt = wgt * tri_w
+        wgt_all = jnp.maximum(1e-6, wgt_all)
+        crush = 0.2
+        wgt_all = jnp.where(
+            wgt_all < crush, wgt_all ** 3 / (crush * crush), wgt_all)
+        wgt_all = wgt_all * tri_w
 
-            # accumulate the corner's probe selection weighted by wgt —
-            # the irradiance atlas is stored in sqrt space, so the 8
-            # per-corner (one-hot @ atlas) dots collapse into ONE weighted
-            # multi-hot dot after the loop (bilinear-of-sqrt == the
-            # reference's perceptual sqrt blending, gi_common.glsl:299-316)
-            multi_hot = multi_hot + oh * wgt[:, None]
-            sum_w = sum_w + wgt
+        # the irradiance atlas is stored in sqrt space, so the 8 per-corner
+        # (one-hot @ atlas) dots collapse into ONE weighted multi-hot dot
+        # (bilinear-of-sqrt == the reference's perceptual sqrt blending,
+        # gi_common.glsl:299-316)
+        multi_hot = jnp.sum(oh3 * wgt_all[:, :, None], axis=0)
+        # sum of corner weights = row sums of multi_hot (oh rows are
+        # one-hot), via a tiny dot — Mosaic can't reduce (8,T) -> (T,) 1-D
+        sum_w = jnp.dot(multi_hot, jnp.ones((W_PROBES, 8), jnp.float32),
+                        preferred_element_type=jnp.float32)  # (256,8)
 
-        rows_mix = jnp.dot(multi_hot, sc_irr[:],
+        rows_mix = jnp.dot(multi_hot, irr_win,
                            preferred_element_type=jnp.float32)
         sum_irr = jnp.dot(rows_mix * mask_i, icol_ref[:],
                           preferred_element_type=jnp.float32)  # (256,8)
-        net = sum_irr / jnp.maximum(sum_w, 1e-9)[:, None]
+        net = sum_irr / jnp.maximum(sum_w, 1e-9)
         out_ref[:, :] = jnp.square(jnp.maximum(net, 0.0)) * (
             energy_preservation * gi_scale
         )
@@ -288,39 +353,44 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
 @functools.partial(
     jax.jit,
     static_argnames=("grid_counts", "grid_start", "grid_step",
-                     "cfg_vals", "irr_side", "dep_side", "interpret"),
+                     "cfg_vals", "irr_side", "dep_side", "interpret",
+                     "tile"),
 )
 def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
                   grid_start, grid_step, cfg_vals, irr_side, dep_side,
-                  interpret):
-    ntiles = pts.shape[0] // TILE_PTS
-    IRR_LANES = irr_flat.shape[1]
-    DEP_LANES = dep_flat.shape[1]
+                  interpret, tile=TILE_PTS):
+    ntiles = pts.shape[0] // tile
+    IRR_LANES = irr_flat.shape[-1]
+    DEP_LANES = dep_flat.shape[-1]
     kernel = _make_kernel(grid_counts, grid_start, grid_step,
-                          cfg_vals, irr_side, dep_side)
+                          cfg_vals, irr_side, dep_side, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((TILE_PTS, 16), lambda t, b: (t, 0),
+            pl.BlockSpec((tile, 16), lambda t, b: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # irr atlas (HBM, DMA'd)
             pl.BlockSpec(memory_space=pltpu.ANY),  # dep atlas (HBM, DMA'd)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # irr channel collector
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dep channel collector
         ],
-        out_specs=pl.BlockSpec((TILE_PTS, 8), lambda t, b: (t, 0),
+        out_specs=pl.BlockSpec((tile, 8), lambda t, b: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, W_PROBES, IRR_LANES), jnp.float32),
-            pltpu.VMEM((2, W_PROBES, DEP_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 18)),
+            pltpu.VMEM((2, W_WIN, W_WIN, 16, IRR_LANES), jnp.float32),
+            pltpu.VMEM((2, W_WIN, W_WIN, 16, DEP_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pts.shape[0], 8), jnp.float32),
+        # the folded (8*256, .) corner batch peaks ~24 MB of live vectors —
+        # above the 16 MB default scoped-vmem limit, well under v5e's 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(bases, pts, irr_flat, dep_flat, icol, dcol)
     return out[:, :3]
@@ -350,14 +420,22 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         float(cfg.normal_bias),
         float(cfg.energy_preservation),
         bool(cfg.visibility_test),
-        0.5 * float(np.pi),
+        1.0,  # energy-calibrated: texel = E/pi feeds albedo x texel
+        #       directly (see models/ddgi.py sample_irradiance)
     )
     icol, dcol = _collectors(int(cfg.irradiance_oct_size),
-                             min(int(cfg.depth_oct_size), 8))
+                             min(int(cfg.depth_oct_size), DEPTH_SIDE_MAX))
 
-    def sample(state, p, n, wo):
+    def sample(state, p, n, wo, valid=None):
         shape = p.shape[:-1]
         b = bvh_mod._pick_block(*shape) if len(shape) == 2 else 1
+        # kernel tile size is independent of the pixel-block size (tiles
+        # group consecutive linearized blocks): 256 normally; 64 for small
+        # frames, where a 256-point tile would span too much world space
+        # for the probe window (fit fraction at 160x128 gi_test: 256-pt
+        # tiles 70% -> 64-pt tiles 93%)
+        small = len(shape) == 2 and shape[1] < 512
+        tile = 64 if small else TILE_PTS
         if b > 1:
             H, W = shape
             pf = bvh_mod._block_linearize(p, H, W, b)
@@ -368,7 +446,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
             nf = n.reshape(-1, 3)
             wof = wo.reshape(-1, 3)
         N = pf.shape[0]
-        n_pad = max(TILE_PTS, -(-N // TILE_PTS) * TILE_PTS)
+        n_pad = max(tile, -(-N // tile) * tile)
         padw = ((0, n_pad - N), (0, 0))
         pf = jnp.pad(pf, padw)
         nf = jnp.pad(nf, padw)
@@ -384,8 +462,31 @@ def make_fast_sampler(grid, cfg, interpret: bool):
             jnp.floor((pf - startv) / stepv).astype(jnp.int32),
             0, countsv - 1,
         )
-        tiles = base_pt.reshape(-1, TILE_PTS, 3)
-        bases = jnp.clip(tiles.min(axis=1), 0, jnp.maximum(countsv - 3, 0))
+        # Invalid points (sky: G-buffer position = 0, misses: far plane)
+        # must not drag the tile's probe window away from the geometry —
+        # their output is masked downstream, but the WINDOW base is shared
+        # by the whole tile (VERDICT r2: 0.67 rel RMSE on gi_test frames
+        # before this mask).
+        win = jnp.asarray([3, W_WIN, W_WIN], jnp.int32)
+        if valid is not None:
+            v3 = valid[..., None].astype(jnp.float32)
+            if b > 1:
+                H, W = shape
+                vf = bvh_mod._block_linearize(v3, H, W, b)[:, 0] > 0.5
+            else:
+                vf = v3.reshape(-1) > 0.5
+            vf = jnp.pad(vf, (0, n_pad - N))
+            vt = vf.reshape(-1, tile)
+            bt = base_pt.reshape(-1, tile, 3)
+            masked = jnp.where(vt[..., None], bt, jnp.int32(1 << 20))
+            mn = masked.min(axis=1)
+            # tiles with no valid points: fall back to the unmasked min
+            mn = jnp.where(vt.any(axis=1)[:, None], mn, bt.min(axis=1))
+            bases = jnp.clip(mn, 0, jnp.maximum(countsv - win, 0))
+        else:
+            tiles = base_pt.reshape(-1, tile, 3)
+            bases = jnp.clip(tiles.min(axis=1), 0,
+                             jnp.maximum(countsv - win, 0))
 
         P = state.irradiance.shape[0]
         # irradiance in sqrt space (lets the kernel collapse the 8 corner
@@ -393,33 +494,75 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         irr_flat = jnp.sqrt(jnp.maximum(state.irradiance, 0.0)).reshape(P, -1)
         dside = state.depth.shape[1]
         dep = state.depth
-        if dside > 8:
+        if dside > DEPTH_SIDE_MAX:
             # Downsample (E[d], E[d^2]) texels by plain averaging. This
             # POOLS the distributions: avg(E[d^2]) - avg(E[d])^2 =
             # avg(Var_texel) + Var(texel means), so the Chebyshev variance
-            # at 8x8 includes the inter-texel variance automatically — no
-            # visibility information is dropped beyond the resolution
-            # itself (bounded by tests/test_ddgi_fast_sampler.py full-frame
-            # RMSE vs the 16x16 XLA path).
-            f = dside // 8
-            dep = dep.reshape(P, 8, f, 8, f, 2).mean(axis=(2, 4))
+            # includes the inter-texel variance automatically.
+            f = dside // DEPTH_SIDE_MAX
+            dep = dep.reshape(
+                P, DEPTH_SIDE_MAX, f, DEPTH_SIDE_MAX, f, 2).mean(axis=(2, 4))
         dep_flat = dep.reshape(P, -1)
         irr_lanes = -(-irr_flat.shape[1] // 128) * 128
         dep_lanes = -(-dep_flat.shape[1] // 128) * 128
-        irr_flat = jnp.pad(
-            irr_flat, ((0, 16), (0, irr_lanes - irr_flat.shape[1]))
-        )
-        dep_flat = jnp.pad(
-            dep_flat, ((0, 16), (0, dep_lanes - dep_flat.shape[1]))
-        )
-        out = _sample_tiles(
-            bases, pts, irr_flat, dep_flat, icol, dcol,
+        Px, Py, Pz = counts
+        pxp = -(-Px // 8) * 8 + 16
+        pyp, pzp = max(Py, W_WIN), max(Pz, W_WIN)
+
+        def to4d(flat, lanes):
+            a = jnp.pad(flat, ((0, 0), (0, lanes - flat.shape[1])))
+            a = a.reshape(Pz, Py, Px, lanes)
+            return jnp.pad(
+                a, ((0, pzp - Pz), (0, pyp - Py), (0, pxp - Px), (0, 0)))
+
+        irr_flat = to4d(irr_flat, irr_lanes)
+        dep_flat = to4d(dep_flat, dep_lanes)
+        kern_kw = dict(
             grid_counts=counts, grid_start=start, grid_step=step,
             cfg_vals=cfg_vals,
             irr_side=int(cfg.irradiance_oct_size),
-            dep_side=min(int(cfg.depth_oct_size), 8),
+            dep_side=min(int(cfg.depth_oct_size), DEPTH_SIDE_MAX),
             interpret=interpret,
+            tile=tile,
         )
+        def pack(bs):
+            return bs[:, 0] | (bs[:, 1] << 10) | (bs[:, 2] << 20)
+
+        out = _sample_tiles(pack(bases), pts, irr_flat, dep_flat, icol,
+                            dcol, **kern_kw)
+
+        # Second-window rescue pass: tiles whose points straddle a depth
+        # discontinuity span more probe cells than one window covers
+        # (bimodal cell distribution). Re-run the worst quarter of tiles
+        # with a window based at the UNCOVERED points' cells and merge
+        # per-point. Brings full-frame deviation from the clamped cage
+        # down to the sub-1% gate (tests/test_ddgi_fast_sampler.py).
+        nt = n_pad // tile
+        cover = jnp.asarray([7, W_WIN - 1, W_WIN - 1], jnp.int32)
+        bt = base_pt.reshape(nt, tile, 3)
+        fit1 = ((bt >= bases[:, None, :])
+                & (bt + 1 <= bases[:, None, :] + cover)).all(-1)
+        if valid is not None:
+            bad = (~fit1) & vt
+        else:
+            bad = ~fit1
+        K = max(1, nt // 4)
+        order = jnp.argsort(-bad.sum(axis=1))[:K]
+        pts2 = pts.reshape(nt, tile, 16)[order]
+        bt2 = bt[order]
+        bad2 = bad[order]
+        mn2 = jnp.where(bad2[..., None], bt2, jnp.int32(1 << 20)).min(axis=1)
+        mn2 = jnp.where(bad2.any(axis=1)[:, None], mn2, bases[order])
+        bases2 = jnp.clip(mn2, 0, jnp.maximum(countsv - win, 0))
+        out2 = _sample_tiles(pack(bases2), pts2.reshape(K * tile, 16),
+                             irr_flat, dep_flat, icol, dcol, **kern_kw)
+        fit2 = ((bt2 >= bases2[:, None, :])
+                & (bt2 + 1 <= bases2[:, None, :] + cover)).all(-1)
+        use2 = (bad2 & fit2)[..., None]
+        out_t = out.reshape(nt, tile, 3)
+        merged = jnp.where(use2, out2.reshape(K, tile, 3), out_t[order])
+        out = out_t.at[order].set(merged).reshape(n_pad, 3)
+
         out = out[:N]
         if b > 1:
             return bvh_mod._block_delinearize(out, shape[0], shape[1], b)

