@@ -51,6 +51,8 @@ def render_gbuffer(
     camera: Camera,
     width: int,
     height: int,
+    motion_deltas=None,  # (I,4,4) per-instance prev-pose maps (dynamic
+    #                       scenes; scene/dynamic.py motion_deltas)
 ) -> GBuffer:
     """Trace primary rays and fill every G-buffer plane.
     closest_surface_fn: from ops.bvh.make_surface_tracer (fused trace +
@@ -73,8 +75,16 @@ def render_gbuffer(
     linear_z = jnp.where(vmask, -view_pos[..., 2], camera.far)
 
     # motion vectors: prev_uv - curr_uv (reference g_buffer.frag:55-67,
-    # stored as prev - current; static geometry -> same world position)
-    ndc_prev = _ndc_from_world(camera.prev_view_proj, pos)
+    # stored as prev - current; static geometry -> same world position;
+    # animated instances re-pose the hit through their prev transform,
+    # g_buffer.vert:71-84)
+    if motion_deltas is not None:
+        from hybrid_rendering_tpu.scene.dynamic import prev_positions
+
+        pos_prev = prev_positions(pos, surf.mesh_id, motion_deltas)
+    else:
+        pos_prev = pos
+    ndc_prev = _ndc_from_world(camera.prev_view_proj, pos_prev)
 
     def uv_of(ndc_xy):
         return jnp.stack(

@@ -67,12 +67,20 @@ class HybridRenderer:
         env_irradiance_fn: Optional[Callable] = None,
         env_prefiltered_fn: Optional[Callable] = None,
         tracer_method: str = "auto",
+        animator: Optional[Callable] = None,
     ):
+        """animator: optional fn(frame_index) -> (I, 4, 4) per-instance
+        rigid transforms (jnp ops, traced into the frame). When set, the
+        soup + FlashTrace acceleration data are re-posed on device every
+        frame — the TPU-native equivalent of the reference's per-frame
+        TLAS rebuild (main.cpp:74; see scene/dynamic.py)."""
         self.scene = scene
         self.config = config
         self.sky_radiance_fn = sky_radiance_fn
         self.env_irradiance_fn = env_irradiance_fn
         self.env_prefiltered_fn = env_prefiltered_fn
+        self.animator = animator
+        self.tracer_method = tracer_method
         self.closest_fn, self.visibility_fn = bvh_mod.make_tracers(
             scene, method=tracer_method
         )
@@ -136,10 +144,30 @@ class HybridRenderer:
         debug = cfg.debug_outputs
         outputs: Dict[str, jax.Array] = {}
 
+        # --- dynamic scenes: re-pose soup + rebuild acceleration data on
+        # device (the reference's per-frame build_tlas, main.cpp:74) ---
+        scene = self.scene
+        closest_surface_fn = self.closest_surface_fn
+        visibility_fn = self.visibility_fn
+        deltas = None
+        if self.animator is not None:
+            from hybrid_rendering_tpu.scene import dynamic as dyn
+
+            with jax.named_scope("refit_scene"):
+                m_cur = self.animator(state.frame_index)
+                m_prev = self.animator(jnp.maximum(state.frame_index - 1, 0))
+                scene = dyn.refit_scene(self.scene, m_cur)
+                deltas = dyn.motion_deltas(m_cur, m_prev)
+                _, visibility_fn = bvh_mod.make_tracers(
+                    scene, method=self.tracer_method)
+                closest_surface_fn = bvh_mod.make_surface_tracer(
+                    scene, method=self.tracer_method)
+
         # --- G-buffer (main.cpp:79) ---
         with jax.named_scope("gbuffer"):
             gb = gbuffer_mod.render_gbuffer(
-                self.scene, self.closest_surface_fn, camera, W, H
+                scene, closest_surface_fn, camera, W, H,
+                motion_deltas=deltas,
             )
         if debug:
             outputs["gbuffer_albedo"] = gb.albedo
@@ -156,7 +184,7 @@ class HybridRenderer:
                     state.prev_gbuffer, int(cfg.shadows.scale)
                 )
                 sh_out, shadows_state = shadows_mod.shadows_pass(
-                    self.visibility_fn, gb_s, prev_gb_s, gb, light,
+                    visibility_fn, gb_s, prev_gb_s, gb, light,
                     state.shadows, state.frame_index, cfg.shadows,
                 )
             shadow_vis = sh_out.final
@@ -176,7 +204,7 @@ class HybridRenderer:
                     state.prev_gbuffer, int(cfg.ao.scale)
                 )
                 ao_out, ao_state = ao_pass_mod.ao_pass(
-                    self.visibility_fn, gb_a, prev_gb_a, gb,
+                    visibility_fn, gb_a, prev_gb_a, gb,
                     state.ao, state.frame_index, cfg.ao,
                 )
             ao_plane = ao_out.final
@@ -195,7 +223,7 @@ class HybridRenderer:
         if cfg.ddgi.enabled:
             with jax.named_scope("ddgi_update"):
                 ddgi_state = ddgi_mod.ddgi_update(
-                    self.scene, self.closest_surface_fn, self.visibility_fn,
+                    scene, closest_surface_fn, visibility_fn,
                     self.probe_grid, state.ddgi, light, self.sky_radiance_fn,
                     state.frame_index, cfg.ddgi, sampler=self.gi_sampler,
                 )
@@ -236,7 +264,7 @@ class HybridRenderer:
                     state.prev_gbuffer, int(cfg.reflections.scale)
                 )
                 refl_out, refl_state = reflections_mod.reflections_pass(
-                    self.scene, self.closest_surface_fn, self.visibility_fn,
+                    scene, closest_surface_fn, visibility_fn,
                     gb_r, prev_gb_r, gb, camera, camera_delta, light,
                     self.sky_radiance_fn, state.reflections,
                     state.frame_index, cfg.reflections,

@@ -32,7 +32,7 @@ class ScenePreset:
 # to keep probe counts comparable
 PRESETS: Dict[str, ScenePreset] = {
     "shadows_test": ScenePreset(
-        ddgi_probe_distance=4.0, ddgi_normal_bias=0.25,
+        ddgi_probe_distance=4.0, ddgi_normal_bias=1.0,  # main.cpp:1094-1096
         ddgi_infinite_bounce_intensity=1.7,
         demo_keyframes=(
             Keyframe((14.0, 6.0, 16.0), (0.0, 2.0, 0.0), 0.0),
@@ -43,7 +43,7 @@ PRESETS: Dict[str, ScenePreset] = {
         ),
     ),
     "reflections_test": ScenePreset(
-        ddgi_probe_distance=3.0, ddgi_normal_bias=0.25,
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.75,  # bias/dist = 1/4
         ddgi_infinite_bounce_intensity=1.7,
         demo_keyframes=(
             Keyframe((0.0, 4.5, 12.0), (0.0, 1.0, -2.0), 0.0),
@@ -53,8 +53,10 @@ PRESETS: Dict[str, ScenePreset] = {
         ),
     ),
     "gi_test": ScenePreset(
-        ddgi_probe_distance=1.5, ddgi_normal_bias=0.25,
-        ddgi_infinite_bounce_intensity=1.7,
+        # reference GI test: bias 1.0 @ distance 4.0, bounce 0.8
+        # (main.cpp:1112-1116); bias scaled to our probe distance
+        ddgi_probe_distance=1.5, ddgi_normal_bias=0.375,
+        ddgi_infinite_bounce_intensity=0.8,
         demo_keyframes=(
             Keyframe((0.0, 5.0, 16.0), (0.0, 4.0, 0.0), 0.0),
             Keyframe((4.0, 6.0, 14.0), (0.0, 4.0, 0.0), 4.0),
@@ -63,16 +65,18 @@ PRESETS: Dict[str, ScenePreset] = {
         ),
     ),
     "pica_pica": ScenePreset(
-        ddgi_probe_distance=3.0, ddgi_normal_bias=0.25,
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.75,
         ddgi_infinite_bounce_intensity=1.7,
     ),
     "sponza": ScenePreset(
-        ddgi_probe_distance=3.0, ddgi_normal_bias=0.4,
-        ddgi_infinite_bounce_intensity=3.0,  # Sponza boost (main.cpp:1127-1138)
+        # reference Sponza: bias 0.1 @ distance 50, bounce 1.7
+        # (main.cpp:1124-1131); small absolute bias for thin geometry
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.2,
+        ddgi_infinite_bounce_intensity=1.7,
     ),
     "sponza_hi": ScenePreset(
-        ddgi_probe_distance=3.0, ddgi_normal_bias=0.4,
-        ddgi_infinite_bounce_intensity=3.0,
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.2,
+        ddgi_infinite_bounce_intensity=1.7,
     ),
 }
 

@@ -48,6 +48,10 @@ def parse_args():
     p.add_argument("--no-reflections", action="store_true")
     p.add_argument("--no-ddgi", action="store_true")
     p.add_argument("--no-taa", action="store_true")
+    p.add_argument("--sky", default="hosek", choices=("hosek", "preetham"),
+                   help="procedural sky model (reference default is "
+                        "Hosek-Wilkie, common.cpp:541-546; see "
+                        "ops/hosek.py for the offline-fit caveat)")
     p.add_argument("--env", default=None,
                    help="environment: procedural sky (default), a named HDR "
                         "(arches|basketball_court|environment|overcast), or "
@@ -118,6 +122,12 @@ def main():
         env = load_environment(args.env)
         env_fn = env.radiance
         irr_fn, pref_fn = make_image_env_fallbacks(env)
+    elif args.sky == "hosek":
+        from hybrid_rendering_tpu.ops.hosek import HosekWilkieSky
+
+        sky = HosekWilkieSky.create(np.asarray(light.direction))
+        env_fn = sky.radiance
+        irr_fn, pref_fn = make_env_fallbacks(env_fn)
     else:
         sky = PreethamSky.create(np.asarray(light.direction))
         env_fn = sky.radiance

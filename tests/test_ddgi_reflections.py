@@ -85,13 +85,14 @@ class TestDDGICore:
         assert abs(irr.mean() - 0.475) < 0.05
         assert irr.std() < 0.02
 
-        # sampled irradiance at the grid center ~ 0.5*pi*E*energy
+        # sampled irradiance at the grid center: energy-calibrated to
+        # texel x energy_preservation (E/pi chain; see sample_irradiance)
         p = jnp.asarray([[1.0, 1.0, 1.0]])
         n = jnp.asarray([[0.0, 1.0, 0.0]])
         out = np.asarray(
             ddgi_mod.sample_irradiance(grid, state, cfg, p, n, n)
         )
-        expected = 0.5 * np.pi * 0.475 * cfg.energy_preservation
+        expected = 0.475 * cfg.energy_preservation
         assert abs(out.mean() - expected) < 0.15 * expected
 
     def test_depth_atlas_chebyshev(self):
