@@ -47,8 +47,11 @@ def write_png(path: str, img: np.ndarray):
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
-    with open(path, "wb") as f:
-        f.write(png)
+    if hasattr(path, "write"):  # file-like (viewer streaming)
+        path.write(png)
+    else:
+        with open(path, "wb") as f:
+            f.write(png)
 
 
 def read_png(data_or_path) -> np.ndarray:
