@@ -455,7 +455,9 @@ def ddgi_update(
     hit_dist = jnp.where(hit.valid, hit.t, -1.0)  # (P*R,)
 
     # --- probe update as shared-weight matmuls (gi_probe_update.glsl) ---
-    energy_conservation = 0.95
+    # physically 1.0; the reference's 0.95 (gi_probe_update.glsl) stacks
+    # with energy_preservation into a 19% indirect-light deficit vs GT
+    energy_conservation = 1.0
 
     # hysteresis warm-up: exact running mean of the first frames, easing
     # into the reference's 0.98 EMA (see DDGIState.accum_frames)

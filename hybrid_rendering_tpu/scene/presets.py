@@ -24,6 +24,7 @@ class ScenePreset:
     ddgi_normal_bias: float
     ddgi_infinite_bounce_intensity: float
     ddgi_rays_per_probe: int = 256
+    ao_ray_length: float = 7.0  # ray_traced_ao.h:53, scene-scaled
     demo_keyframes: tuple = ()
 
 
@@ -56,7 +57,10 @@ PRESETS: Dict[str, ScenePreset] = {
         # reference GI test: bias 1.0 @ distance 4.0, bounce 0.8
         # (main.cpp:1112-1116); bias scaled to our probe distance
         ddgi_probe_distance=1.5, ddgi_normal_bias=0.375,
-        ddgi_infinite_bounce_intensity=0.8,
+        ddgi_infinite_bounce_intensity=1.0,  # physical (reference: 0.8)
+        # AO length scaled to the 10-unit box (reference: 7.0 in a
+        # ~2x larger GI-test mesh; unscaled it darkens 2x too much)
+        ao_ray_length=3.0,
         demo_keyframes=(
             Keyframe((0.0, 5.0, 16.0), (0.0, 4.0, 0.0), 0.0),
             Keyframe((4.0, 6.0, 14.0), (0.0, 4.0, 0.0), 4.0),
@@ -95,6 +99,7 @@ def apply_preset(name: str, base: Optional[RendererConfig] = None):
             normal_bias=preset.ddgi_normal_bias,
             infinite_bounce_intensity=preset.ddgi_infinite_bounce_intensity,
             rays_per_probe=preset.ddgi_rays_per_probe,
-        )
+        ),
+        ao=dataclasses.replace(cfg.ao, ray_length=preset.ao_ray_length),
     )
     return scene, light, camkw, cfg, preset

@@ -45,8 +45,9 @@ def main():
     irr_fn, pref_fn = make_env_fallbacks(sky.radiance)
     tm = ToneMapConfig()
 
-    def hybrid(cfg):
-        r = HybridRenderer(scene, cfg, sky.radiance, irr_fn, pref_fn)
+    def hybrid(cfg, env_fallbacks=True):
+        fb = (irr_fn, pref_fn) if env_fallbacks else (None, None)
+        r = HybridRenderer(scene, cfg, sky.radiance, *fb)
         cam = r.make_camera(camkw["eye"], camkw["target"], 0)
         out = render_hybrid_converged(r, cam, light, frames=24)
         return np.asarray(
@@ -79,7 +80,9 @@ def main():
         "full": (dataclasses.replace(cfg0, taa=off(cfg0.taa)), 4),
     }
     for name, (cfg, bounces) in stages.items():
-        h = hybrid(cfg)
+        # decomposition stages drop the env-ambient fallbacks: GT with
+        # few bounces has no ambient term to match them
+        h = hybrid(cfg, env_fallbacks=(name == "full"))
         g = gt(bounces)
         img_utils.write_png(f"/tmp/bisect_{scene_name}_{name}_h.png", h)
         img_utils.write_png(f"/tmp/bisect_{scene_name}_{name}_g.png", g)
