@@ -82,6 +82,12 @@ def _time_frames(r, light, camkw, iters=10):
 def main():
     import jax
 
+    try:  # compiles dominate bench wall time; cache across runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     bench_t0 = time.perf_counter()
 
     def budget_left(cap_s=1500.0):

@@ -131,6 +131,12 @@ class TAAConfig:
     sharpen: bool = True
     feedback_min: float = 0.88
     feedback_max: float = 0.97
+    # velocity-space motion blur on the current color (7 jittered taps
+    # along the dilated velocity, taa.comp:218-236 sample_color_motion +
+    # noise.glsl srand). The reference defines but never calls it; same
+    # default here.
+    motion_blur: bool = False
+    motion_blur_taps: int = 3  # taps on either side (taa.comp:221)
 
 
 @dataclass(frozen=True)

@@ -95,6 +95,26 @@ def taa_resolve(
     history, hist_ok = warp_ops.warp_bilinear(state.history, hx, hy)
     history = jnp.where(hist_ok[..., None], history, color)
 
+    if cfg.motion_blur:
+        # sample_color_motion (taa.comp:218-236): box-average the current
+        # color along +-taps of half the screen-space velocity, start
+        # offset jittered by the sin-hash noise (noise.glsl srand)
+        taps = int(cfg.motion_blur_taps)
+        uvx = (xx + 0.5) / W
+        uvy = (yy + 0.5) / H
+        s = jnp.sin(uvx * 12.9898 + uvy * 78.233) * 43758.5453
+        srand = (s - jnp.floor(s)) * 2.0 - 1.0  # fract -> [-1,1)
+        # velocity points prev - curr: blur along -motion (pixel units)
+        vx = -best_motion[..., 0] * W * 0.5 / taps
+        vy = -best_motion[..., 1] * H * 0.5 / taps
+        acc = jnp.zeros_like(color)
+        for i in range(-taps, taps + 1):
+            o = i + 0.5 * srand
+            tap, ok = warp_ops.warp_bilinear(color, xx + vx * o,
+                                             yy + vy * o)
+            acc = acc + jnp.where(ok[..., None], tap, color)
+        color = acc / (2 * taps + 1)
+
     # rounded 3x3 neighborhood min/max/avg (box + cross blended)
     box_min = color
     box_max = color

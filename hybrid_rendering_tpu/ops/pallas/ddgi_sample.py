@@ -133,9 +133,13 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
     st0, st1, st2 = (float(v) for v in grid_step)
     (normal_bias, energy_preservation, visibility_test, gi_scale) = cfg_vals
     # lane widths padded to multiples of 128 (Mosaic DMA tiling); padded
-    # lanes are never selected (texel masks cover lane//3 <= side^2-1)
+    # lanes are never selected (texel masks cover lane//3 <= side^2-1).
+    # The depth atlas is PLANAR: [mean texels | mean^2 texels], each plane
+    # padded to a 128-multiple, so the texel one-hot lives on a half-width
+    # lane domain and selects both moments with two plane dots.
     IRR_LANES = -(-(irr_side * irr_side * 3) // 128) * 128
-    DEP_LANES = -(-(dep_side * dep_side * 2) // 128) * 128
+    DEP_PLANE = -(-(dep_side * dep_side) // 128) * 128
+    DEP_LANES = 2 * DEP_PLANE
 
     def kernel(bases_ref, pts_ref, irr_ref, dep_ref, icol_ref, dcol_ref,
                out_ref, sc_irr, sc_dep, sems):
@@ -298,23 +302,28 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
                                dep_win.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
             # clamped-bilinear depth taps toward the probe (dir = ptp
-            # normalized) on the full-res 16x16 atlas
+            # normalized) on the full-res 16x16 atlas; the bilinear
+            # weights build ONE texel-domain one-hot (half-width lanes)
+            # applied to each moment plane
             taps_d = _oct_texel_taps_clamped_cols(
                 ptpx / dist, ptpy / dist, ptpz / dist, dep_side,
             )
-            lane_dep3 = jax.lax.broadcasted_iota(
-                jnp.int32, (8, TILE_PTS, DEP_LANES), 2)
-            mask_d = jnp.zeros((8, TILE_PTS, DEP_LANES), jnp.float32)
+            lane_t3 = jax.lax.broadcasted_iota(
+                jnp.int32, (8, TILE_PTS, DEP_PLANE), 2)
+            u_mask = jnp.zeros((8, TILE_PTS, DEP_PLANE), jnp.float32)
             for tt, ww in taps_d:
-                mask_d = mask_d + jnp.where(
-                    lane_dep3 // 2 == tt[:, :, None], ww[:, :, None], 0.0
+                u_mask = u_mask + jnp.where(
+                    lane_t3 == tt[:, :, None], ww[:, :, None], 0.0
                 )
-            dsel = jnp.dot(dep_rows * mask_d.reshape(B, DEP_LANES),
-                           dcol_ref[:],
-                           preferred_element_type=jnp.float32)
-            dsel = dsel.reshape(8, TILE_PTS, 8)
-            mean = dsel[:, :, 0]
-            variance = jnp.abs(jnp.square(mean) - dsel[:, :, 1])
+            u2 = u_mask.reshape(B, DEP_PLANE)
+            e8 = jnp.ones((DEP_PLANE, 8), jnp.float32)
+            m8 = jnp.dot(dep_rows[:, :DEP_PLANE] * u2, e8,
+                         preferred_element_type=jnp.float32)
+            v8 = jnp.dot(dep_rows[:, DEP_PLANE:] * u2, e8,
+                         preferred_element_type=jnp.float32)
+            mean = m8.reshape(8, TILE_PTS, 8)[:, :, 0]
+            m2 = v8.reshape(8, TILE_PTS, 8)[:, :, 0]
+            variance = jnp.abs(jnp.square(mean) - m2)
             cheb = variance / (
                 variance + jnp.square(jnp.maximum(dist - mean, 0.0))
                 + 1e-12
@@ -502,9 +511,15 @@ def make_fast_sampler(grid, cfg, interpret: bool):
             f = dside // DEPTH_SIDE_MAX
             dep = dep.reshape(
                 P, DEPTH_SIDE_MAX, f, DEPTH_SIDE_MAX, f, 2).mean(axis=(2, 4))
-        dep_flat = dep.reshape(P, -1)
+        # planar depth: [mean plane | mean^2 plane], each 128-padded
+        dside_k = dep.shape[1]
+        dtex = dside_k * dside_k
+        lp = -(-dtex // 128) * 128
+        dep_flat = dep.transpose(0, 3, 1, 2).reshape(P, 2, dtex)
+        dep_flat = jnp.pad(dep_flat, ((0, 0), (0, 0), (0, lp - dtex)))
+        dep_flat = dep_flat.reshape(P, 2 * lp)
         irr_lanes = -(-irr_flat.shape[1] // 128) * 128
-        dep_lanes = -(-dep_flat.shape[1] // 128) * 128
+        dep_lanes = dep_flat.shape[1]
         Px, Py, Pz = counts
         pxp = -(-Px // 8) * 8 + 16
         pyp, pzp = max(Py, W_WIN), max(Pz, W_WIN)

@@ -56,11 +56,16 @@ PRESETS: Dict[str, ScenePreset] = {
     "gi_test": ScenePreset(
         # reference GI test: bias 1.0 @ distance 4.0, bounce 0.8
         # (main.cpp:1112-1116); bias scaled to our probe distance
+        # NOTE: the residual +gi error vs GT is a bright ceiling band —
+        # the inherent DDGI boundary bias (cages at walls renormalize
+        # toward interior probes that sit closer to the lit floor).
+        # Densifying probes to 1.0 only moved pooled RMSE 0.138->0.133,
+        # so the reference-ratio grid stays.
         ddgi_probe_distance=1.5, ddgi_normal_bias=0.375,
         ddgi_infinite_bounce_intensity=1.0,  # physical (reference: 0.8)
         # AO length scaled to the 10-unit box (reference: 7.0 in a
         # ~2x larger GI-test mesh; unscaled it darkens 2x too much)
-        ao_ray_length=3.0,
+        ao_ray_length=2.0,
         demo_keyframes=(
             Keyframe((0.0, 5.0, 16.0), (0.0, 4.0, 0.0), 0.0),
             Keyframe((4.0, 6.0, 14.0), (0.0, 4.0, 0.0), 4.0),

@@ -201,3 +201,35 @@ class TestCheckpoint:
         wrong = {"a": jnp.ones((3, 3)), "c": [jnp.zeros(2), jnp.zeros((1,))]}
         with pytest.raises(ValueError):
             load_state(p, like=wrong)
+
+
+def test_taa_motion_blur_blurs_along_velocity():
+    """sample_color_motion equivalent (taa.comp:218-236 + noise.glsl):
+    with a uniform velocity, a hard vertical edge smears along x."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from hybrid_rendering_tpu.config import TAAConfig
+    from hybrid_rendering_tpu.models import taa as taa_mod
+
+    H = W = 32
+    color = np.zeros((H, W, 3), np.float32)
+    color[:, W // 2:] = 1.0
+    gb = _flat_gbuffer(H, W)
+    # uniform motion: prev - curr = -8 px in x -> velocity +8 px
+    gb = gb.replace(motion=jnp.full((H, W, 2), 0.0).at[..., 0].set(-8.0 / W))
+    state = taa_mod.TAAState.create(H, W)
+
+    cfg = TAAConfig(motion_blur=False, sharpen=False)
+    out0, _ = taa_mod.taa_resolve(jnp.asarray(color), gb, state, cfg)
+    cfg = TAAConfig(motion_blur=True, sharpen=False)
+    out1, _ = taa_mod.taa_resolve(jnp.asarray(color), gb, state, cfg)
+
+    row0 = np.asarray(out0)[H // 2, :, 0]
+    row1 = np.asarray(out1)[H // 2, :, 0]
+    # without blur the edge transition is <= ~2 px; with blur it spreads
+    trans0 = np.sum((row0 > 0.05) & (row0 < 0.95))
+    trans1 = np.sum((row1 > 0.05) & (row1 < 0.95))
+    assert trans1 > trans0 + 2
+    assert np.isfinite(row1).all()
