@@ -87,6 +87,11 @@ class FlashScene(NamedTuple):
     attrs: jax.Array = None  # (NTT*TRI_TILE, ATTR) per-tri attributes
     trimat_hi: jax.Array = None  # bf16 high halves of trimat (split-operand)
     trimat_lo: jax.Array = None  # bf16 residual halves
+    # K-folded split-operand matrix: rows [hi; hi; lo] (3*FEAT, N) so the
+    # three bf16 passes become ONE K=48 matmul — the K=16 contraction left
+    # the 128-deep MXU at ~12% utilization (measured 26.5 Mrays/s; the
+    # tiling sweep moved nothing, this is the bound)
+    trimat48: jax.Array = None
 
 
 def make_flash_scene(
@@ -170,10 +175,11 @@ def make_flash_scene(
     trimat = jnp.asarray(trimat)
     trimat_hi = trimat.astype(jnp.bfloat16)
     trimat_lo = (trimat - trimat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    trimat48 = jnp.concatenate([trimat_hi, trimat_hi, trimat_lo], axis=0)
     return FlashScene(
         trimat=trimat, cluster_box=cluster_box,
         center=center, num_tris=T, num_tri_tiles=ntt, attrs=attrs,
-        trimat_hi=trimat_hi, trimat_lo=trimat_lo,
+        trimat_hi=trimat_hi, trimat_lo=trimat_lo, trimat48=trimat48,
     )
 
 
@@ -577,10 +583,13 @@ def _ray_box_any_multi(feats, inv_dir, box_ref, ids_ref, base, C, best_t,
     return jnp.max(hit_any.astype(jnp.int32)) > 0
 
 
-def _grouped_mt(f_hi, f_lo, mhis, mlos, tt):
-    """3C skinny dots -> per-kind (det|t|u|v) planes concatenated across the
-    step's C clusters: each (RT, C*tt)."""
-    prods = [_dot_x3(f_hi, f_lo, mh, ml) for mh, ml in zip(mhis, mlos)]
+def _grouped_mt(f_hi, f_lo, m48s, tt):
+    """One K=48 folded dot per cluster ([f_hi|f_lo|f_hi] @ [hi;hi;lo] =
+    the bf16x3 split-operand product) -> per-kind (det|t|u|v) planes
+    concatenated across the step's C clusters: each (RT, C*tt)."""
+    f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
+    prods = [jnp.dot(f48, m[:], preferred_element_type=jnp.float32)
+             for m in m48s]
     det = jnp.concatenate([pr[:, 0 * tt : 1 * tt] for pr in prods], axis=1)
     tn = jnp.concatenate([pr[:, 1 * tt : 2 * tt] for pr in prods], axis=1)
     un = jnp.concatenate([pr[:, 2 * tt : 3 * tt] for pr in prods], axis=1)
@@ -609,14 +618,13 @@ def _numerator_accept(det, tn, un, vn, t_min, best_or_tmax):
 def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
                            *rest, t_min, tt, kk, cps, with_attrs):
     C = cps
-    mhis = rest[0:C]
-    mlos = rest[C : 2 * C]
+    m48s = rest[0:C]
     if with_attrs:
-        attr_refs = rest[2 * C : 3 * C]
-        best_ref, id_ref, attr_out_ref = rest[3 * C :]
+        attr_refs = rest[C : 2 * C]
+        best_ref, id_ref, attr_out_ref = rest[2 * C :]
     else:
         attr_refs = None
-        best_ref, id_ref = rest[2 * C :]
+        best_ref, id_ref = rest[C :]
         attr_out_ref = None
 
     k = pl.program_id(1)
@@ -636,7 +644,7 @@ def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
     def _work():
         feats = feats_ref[:]
         f_hi, f_lo = _split_bf16(feats)
-        det, tn, un, vn = _grouped_mt(f_hi, f_lo, mhis, mlos, tt)
+        det, tn, un, vn = _grouped_mt(f_hi, f_lo, m48s, tt)
         if _os.environ.get("FLASH_NO_EPILOGUE") == "1":  # debug knob
             best_ref[:, 0:1] = jnp.min(
                 det + tn + un + vn, axis=1, keepdims=True)
@@ -704,9 +712,8 @@ def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
 def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
                           *rest, t_min, tt, kk, cps):
     C = cps
-    mhis = rest[0:C]
-    mlos = rest[C : 2 * C]
-    (vis_ref,) = rest[2 * C :]
+    m48s = rest[0:C]
+    (vis_ref,) = rest[C :]
 
     k = pl.program_id(1)
     i = pl.program_id(0)
@@ -721,7 +728,7 @@ def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
     def _work():
         feats = feats_ref[:]
         f_hi, f_lo = _split_bf16(feats)
-        det, tn, un, vn = _grouped_mt(f_hi, f_lo, mhis, mlos, tt)
+        det, tn, un, vn = _grouped_mt(f_hi, f_lo, m48s, tt)
         valid, _, _, _, _ = _numerator_accept(
             det, tn, un, vn, t_min, tmax_ref[:])
         blocked = jnp.max(valid.astype(jnp.int32), axis=1, keepdims=True)
@@ -761,7 +768,7 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
 
     def mat_spec(j):
         return pl.BlockSpec(
-            (FEAT, 4 * tt),
+            (3 * FEAT, 4 * tt),
             lambda i, k, ids, cnt, j=j: (0, ids[i * K + k * C + j]),
             memory_space=pltpu.VMEM)
 
@@ -773,9 +780,7 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster boxes
     ]
     common_in += [mat_spec(j) for j in range(C)]
-    common_in += [mat_spec(j) for j in range(C)]
-    args = ([feats, tmax, fs.cluster_box]
-            + [fs.trimat_hi] * C + [fs.trimat_lo] * C)
+    args = [feats, tmax, fs.cluster_box] + [fs.trimat48] * C
 
     if any_hit:
         grid_spec = pltpu.PrefetchScalarGridSpec(

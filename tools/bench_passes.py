@@ -41,6 +41,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # compiles dominate; cache across runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from hybrid_rendering_tpu.config import (
         AOConfig, DDGIConfig, ReflectionsConfig, RendererConfig,
         ShadowsConfig, TAAConfig, RayTraceScale,
@@ -82,6 +88,7 @@ def main():
     frame_ms = timeit(step, state, cam, light, iters=args.iters)
 
     results = {"frame_total": frame_ms}
+    print(f"frame_total: {frame_ms:.1f} ms", flush=True)
     fi = state.frame_index
 
     # --- G-buffer ---
@@ -89,6 +96,7 @@ def main():
         scene, r.closest_surface_fn, c, W, H))
     gb = gb_fn(cam)
     results["gbuffer"] = timeit(gb_fn, cam, iters=args.iters)
+    print(f"gbuffer: {results['gbuffer']:.1f} ms", flush=True)
 
     ds = jax.jit(lambda g, s: gbuffer_mod.downsample_gbuffer(g, s),
                  static_argnums=1)
@@ -100,26 +108,30 @@ def main():
         r.visibility_fn, g, pg, g, light, st, fi, cfg.shadows))
     results["shadows"] = timeit(sh_fn, gb, state.prev_gbuffer, state.shadows,
                                 iters=args.iters)
+    print(f"shadows: {results['shadows']:.1f} ms", flush=True)
 
     # --- AO (half res) ---
     ao_fn = jax.jit(lambda g, pg, st: ao_mod.ao_pass(
         r.visibility_fn, g, pg, gb, st, fi, cfg.ao))
     results["ao"] = timeit(ao_fn, gb_h, prev_gb_h, state.ao, iters=args.iters)
+    print(f"ao: {results['ao']:.1f} ms", flush=True)
 
     # --- DDGI update + screen sample ---
     dd_fn = jax.jit(lambda st: ddgi_mod.ddgi_update(
         scene, r.closest_surface_fn, r.visibility_fn, r.probe_grid, st,
         light, r.sky_radiance_fn, fi, cfg.ddgi, sampler=r.gi_sampler))
     results["ddgi_update"] = timeit(dd_fn, state.ddgi, iters=args.iters)
+    print(f"ddgi_update: {results['ddgi_update']:.1f} ms", flush=True)
 
     gs_fn = jax.jit(lambda st, g: ddgi_mod.sample_probe_grid_screen(
         r.probe_grid, st, cfg.ddgi, g, cam.position, sampler=r.gi_sampler))
     results["ddgi_sample_screen"] = timeit(gs_fn, state.ddgi, gb_h,
                                            iters=args.iters)
+    print(f"ddgi_sample_screen: {results['ddgi_sample_screen']:.1f} ms", flush=True)
 
     # --- reflections (half res) ---
-    def gi_sample_fn(p, n, wo, _st=state.ddgi):
-        return r.gi_sampler(_st, p, n, wo)
+    def gi_sample_fn(p, n, wo, valid=None, _st=state.ddgi):
+        return r.gi_sampler(_st, p, n, wo, valid=valid)
 
     rf_fn = jax.jit(lambda g, pg, st: refl_mod.reflections_pass(
         scene, r.closest_surface_fn, r.visibility_fn, g, pg, gb, cam,
@@ -127,6 +139,7 @@ def main():
         gi_sample_fn=gi_sample_fn, env_prefiltered_fn=pref_fn))
     results["reflections"] = timeit(rf_fn, gb_h, prev_gb_h,
                                     state.reflections, iters=args.iters)
+    print(f"reflections: {results['reflections']:.1f} ms", flush=True)
 
     # --- deferred / TAA / tonemap ---
     shadow_vis = sh_fn(gb, state.prev_gbuffer, state.shadows)[0].final
@@ -138,6 +151,7 @@ def main():
     gi_screen = up_fn(gi_low, gb, gb_h)
     results["ddgi_upsample"] = timeit(up_fn, gi_low, gb, gb_h,
                                       iters=args.iters)
+    print(f"ddgi_upsample: {results['ddgi_upsample']:.1f} ms", flush=True)
 
     df_fn = jax.jit(lambda g, sv, aop, rp, gis: deferred_mod.deferred_shading(
         g, cam, light, r.sky_radiance_fn, W, H, shadow_visibility=sv,
@@ -147,12 +161,15 @@ def main():
     hdr = df_fn(gb, shadow_vis, ao_plane, refl_plane, gi_screen)
     results["deferred"] = timeit(df_fn, gb, shadow_vis, ao_plane, refl_plane,
                                  gi_screen, iters=args.iters)
+    print(f"deferred: {results['deferred']:.1f} ms", flush=True)
 
     taa_fn = jax.jit(lambda h, g, st: taa_mod.taa_resolve(h, g, st, cfg.taa))
     results["taa"] = timeit(taa_fn, hdr, gb, state.taa, iters=args.iters)
+    print(f"taa: {results['taa']:.1f} ms", flush=True)
 
     tm_fn = jax.jit(lambda h: tonemap_mod.tonemap(h, cfg.tonemap))
     results["tonemap"] = timeit(tm_fn, hdr, iters=args.iters)
+    print(f"tonemap: {results['tonemap']:.1f} ms", flush=True)
 
     # --- raw trace kernels ---
     o = jnp.broadcast_to(cam.position, (H * W, 3))
@@ -160,9 +177,11 @@ def main():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     vis_flat = jax.jit(lambda oo, dd: r.visibility_fn(oo, dd, 1e4))
     results["trace_visibility_2M"] = timeit(vis_flat, o, d, iters=args.iters)
+    print(f"trace_visibility_2M: {results['trace_visibility_2M']:.1f} ms", flush=True)
     cs_flat = jax.jit(lambda oo, dd: r.closest_surface_fn(oo, dd, 1e4))
     results["trace_closest_surface_2M"] = timeit(cs_flat, o, d,
                                                  iters=args.iters)
+    print(f"trace_closest_surface_2M: {results['trace_closest_surface_2M']:.1f} ms", flush=True)
 
     known = sum(v for k, v in results.items()
                 if k not in ("frame_total", "trace_visibility_2M",
