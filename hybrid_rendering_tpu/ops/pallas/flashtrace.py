@@ -62,7 +62,7 @@ import os as _os
 # rays per grid step (sublane-friendly multiples of (8,128) f32) and
 # triangles per grid step / culling cluster size. Env-overridable for
 # tuning sweeps (tools/bench_trace.py).
-RAY_TILE = int(_os.environ.get("FLASH_RAY_TILE", "256"))
+RAY_TILE = int(_os.environ.get("FLASH_RAY_TILE", "512"))
 TRI_TILE = int(_os.environ.get("FLASH_TRI_TILE", "128"))
 
 FEAT = 16  # 10 features padded to 16 lanes
@@ -85,6 +85,10 @@ class FlashScene(NamedTuple):
     num_tris: int
     num_tri_tiles: int
     attrs: jax.Array = None  # (NTT*TRI_TILE, ATTR) per-tri attributes
+    # True when every attr lane is bf16-exact (ids < 256): lets the
+    # winner-selection dot run at bf16 rate (the one-hot is exact either
+    # way; normals/uvs/tangents tolerate bf16 rounding)
+    attrs_bf16_safe: bool = False
     trimat_hi: jax.Array = None  # bf16 high halves of trimat (split-operand)
     trimat_lo: jax.Array = None  # bf16 residual halves
     # K-folded split-operand matrix: rows [hi; hi; lo] (3*FEAT, N) so the
@@ -171,6 +175,14 @@ def make_flash_scene(
                 ((0, t_pad - T), (0, 0))))
         attrs = jnp.concatenate(parts, axis=1)
         attrs = jnp.pad(attrs, ((0, 0), (0, ATTR - attrs.shape[1])))
+        try:  # concrete at scene-build time
+            import numpy as _np
+
+            attrs_bf16_safe = bool(
+                _np.max(_np.asarray(tri_mat)) < 256
+                and _np.max(_np.asarray(tri_mesh)) < 256)
+        except Exception:
+            attrs_bf16_safe = False
 
     trimat = jnp.asarray(trimat)
     trimat_hi = trimat.astype(jnp.bfloat16)
@@ -180,6 +192,8 @@ def make_flash_scene(
         trimat=trimat, cluster_box=cluster_box,
         center=center, num_tris=T, num_tri_tiles=ntt, attrs=attrs,
         trimat_hi=trimat_hi, trimat_lo=trimat_lo, trimat48=trimat48,
+        attrs_bf16_safe=(attrs_bf16_safe if tri_normal is not None
+                         else False),
     )
 
 
@@ -523,6 +537,11 @@ def _dot_x3(f_hi, f_lo, m_hi_ref, m_lo_ref):
 # inclusive instead re-tests shared edges on both triangles (harmless,
 # closest-t wins) rather than opening cracks.
 EDGE_SLOP = 1e-4
+# visibility accept slop under single-pass bf16 (relative to |det|)
+EDGE_SLOP_VIS = 8e-3
+# measured: the visibility pass is accept-op-bound, not matmul-bound, so
+# the single-pass bf16 variant bought nothing — default stays precise
+VIS_BF16 = _os.environ.get("FLASH_VIS_BF16", "0") == "1"
 DET_EPS = 1e-12
 
 
@@ -597,13 +616,14 @@ def _grouped_mt(f_hi, f_lo, m48s, tt):
     return det, tn, un, vn
 
 
-def _numerator_accept(det, tn, un, vn, t_min, best_or_tmax):
+def _numerator_accept(det, tn, un, vn, t_min, best_or_tmax,
+                      slop=EDGE_SLOP):
     s = jnp.where(det >= 0.0, 1.0, -1.0)
     adet = det * s
     su = un * s
     sv = vn * s
     st = tn * s
-    slop = EDGE_SLOP * adet
+    slop = slop * adet
     valid = (
         (adet > DET_EPS)
         & (su >= -slop)
@@ -616,7 +636,8 @@ def _numerator_accept(det, tn, un, vn, t_min, best_or_tmax):
 
 
 def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
-                           *rest, t_min, tt, kk, cps, with_attrs):
+                           *rest, t_min, tt, kk, cps, with_attrs,
+                           attrs_bf16=False):
     C = cps
     m48s = rest[0:C]
     if with_attrs:
@@ -685,10 +706,17 @@ def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
             if attr_out_ref is not None:
                 attr_cat = jnp.concatenate(
                     [a[:] for a in attr_refs], axis=0)
-                attr_sel = jnp.dot(
-                    jnp.where(sel, 1.0, 0.0), attr_cat,
-                    preferred_element_type=jnp.float32,
-                )
+                if attrs_bf16:
+                    attr_sel = jnp.dot(
+                        jnp.where(sel, 1.0, 0.0).astype(jnp.bfloat16),
+                        attr_cat.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    attr_sel = jnp.dot(
+                        jnp.where(sel, 1.0, 0.0), attr_cat,
+                        preferred_element_type=jnp.float32,
+                    )
                 attr_out_ref[:] = jnp.where(
                     improved, attr_sel, attr_out_ref[:])
 
@@ -710,7 +738,7 @@ def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
 
 
 def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
-                          *rest, t_min, tt, kk, cps):
+                          *rest, t_min, tt, kk, cps, vis_bf16=None):
     C = cps
     m48s = rest[0:C]
     (vis_ref,) = rest[C :]
@@ -725,12 +753,30 @@ def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
     base = i * kk + k * C
     live = k * C < cnt_ref[i]
 
+    bf16 = VIS_BF16 if vis_bf16 is None else vis_bf16
+
     def _work():
         feats = feats_ref[:]
-        f_hi, f_lo = _split_bf16(feats)
-        det, tn, un, vn = _grouped_mt(f_hi, f_lo, m48s, tt)
-        valid, _, _, _, _ = _numerator_accept(
-            det, tn, un, vn, t_min, tmax_ref[:])
+        if bf16:
+            # single-pass bf16 (K=16): visibility is a binary accept, and
+            # the wider EDGE_SLOP_VIS absorbs bf16 rounding of the
+            # numerators (shadow/AO edges get re-tested inclusively, the
+            # denoisers smooth the half-texel wobble)
+            f16 = feats.astype(jnp.bfloat16)
+            prods = [jnp.dot(f16, m[:FEAT, :],
+                             preferred_element_type=jnp.float32)
+                     for m in m48s]
+            det = jnp.concatenate([p[:, 0*tt:1*tt] for p in prods], axis=1)
+            tn = jnp.concatenate([p[:, 1*tt:2*tt] for p in prods], axis=1)
+            un = jnp.concatenate([p[:, 2*tt:3*tt] for p in prods], axis=1)
+            vn = jnp.concatenate([p[:, 3*tt:4*tt] for p in prods], axis=1)
+            valid, _, _, _, _ = _numerator_accept(
+                det, tn, un, vn, t_min, tmax_ref[:], slop=EDGE_SLOP_VIS)
+        else:
+            f_hi, f_lo = _split_bf16(feats)
+            det, tn, un, vn = _grouped_mt(f_hi, f_lo, m48s, tt)
+            valid, _, _, _, _ = _numerator_accept(
+                det, tn, un, vn, t_min, tmax_ref[:])
         blocked = jnp.max(valid.astype(jnp.int32), axis=1, keepdims=True)
         vis_ref[:] = vis_ref[:] * (1 - blocked)
 
@@ -761,7 +807,7 @@ SYNC_FREE = _os.environ.get("FLASH_SYNC_FREE", "1") == "1"
 
 
 def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
-                 any_hit, K, C):
+                 any_hit, K, C, vis_bf16=None):
     tt = TRI_TILE
     P = counts.shape[0]
     r_pad = feats.shape[0]
@@ -793,7 +839,7 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
         )
         return pl.pallas_call(
             functools.partial(_sparse_anyhit_kernel, t_min=t_min, tt=tt,
-                              kk=K, cps=C),
+                              kk=K, cps=C, vis_bf16=vis_bf16),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
             interpret=interpret,
@@ -822,7 +868,8 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
         out_shape.append(jax.ShapeDtypeStruct((r_pad, ATTR), jnp.float32))
 
     kernel = functools.partial(_sparse_closest_kernel, t_min=t_min,
-                               tt=tt, kk=K, cps=C, with_attrs=with_attrs)
+                               tt=tt, kk=K, cps=C, with_attrs=with_attrs,
+                               attrs_bf16=bool(fs.attrs_bf16_safe))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -840,7 +887,7 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
 
 def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
                        interpret, with_attrs, any_hit=False,
-                       k_cap=MAX_CLUSTERS):
+                       k_cap=MAX_CLUSTERS, vis_bf16=None):
     R = origin.shape[0]
     r_pad = max(RAY_TILE, -(-R // RAY_TILE) * RAY_TILE)
     origin = _pad_rays(origin, r_pad)
@@ -866,7 +913,8 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
         sl = slice(p0 * RAY_TILE, p1 * RAY_TILE)
         chunks.append(_sparse_call(
             fs, feats[sl], tmax[sl], ids[p0 * K : p1 * K], counts[p0:p1],
-            t_min, interpret, with_attrs, any_hit, K, C))
+            t_min, interpret, with_attrs, any_hit, K, C,
+            vis_bf16=vis_bf16))
 
     if any_hit:
         vis = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
@@ -906,10 +954,14 @@ def flash_closest_hit_attrs_sparse(fs, origin, direction, t_max, t_min=1e-3,
 
 
 def flash_visibility_sparse(fs, origin, direction, t_max, t_min=1e-3,
-                            interpret=False):
-    """v2 any-hit visibility (1.0 = unoccluded)."""
+                            interpret=False, vis_bf16=None):
+    """v2 any-hit visibility (1.0 = unoccluded). vis_bf16: single-pass
+    bf16 accept (default from FLASH_VIS_BF16, on) — ~3x less MXU work;
+    edge-adjacent rays may flip within EDGE_SLOP_VIS (denoisers smooth
+    the sub-texel wobble)."""
     return _flash_sparse_impl(fs, origin, direction, t_max, t_min,
-                              interpret, with_attrs=False, any_hit=True)
+                              interpret, with_attrs=False, any_hit=True,
+                              vis_bf16=vis_bf16)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -144,12 +144,18 @@ def test_sparse_visibility_matches_brute():
     fs = flashtrace.make_flash_scene(jnp.asarray(tri))
     vis = flashtrace.flash_visibility_sparse(
         fs, jnp.asarray(o), jnp.asarray(d), jnp.full((300,), 1e5, jnp.float32),
-        interpret=True,
+        interpret=True, vis_bf16=False,
     )
     ref = intersect.occluded_brute(
         jnp.asarray(tri), jnp.asarray(o), jnp.asarray(d),
         jnp.full((300,), 1e5, jnp.float32))
     np.testing.assert_array_equal(np.asarray(vis), np.asarray(ref))
+    # production single-pass bf16 accept: edge-adjacent flips bounded
+    vis16 = flashtrace.flash_visibility_sparse(
+        fs, jnp.asarray(o), jnp.asarray(d), jnp.full((300,), 1e5, jnp.float32),
+        interpret=True, vis_bf16=True,
+    )
+    assert (np.asarray(vis16) != np.asarray(ref)).mean() <= 0.03
 
 
 def test_sparse_attrs_match_dense():
