@@ -592,8 +592,8 @@ def _ray_box_any_multi(feats, inv_dir, box_ref, ids_ref, base, C, best_t,
         for axis in range(3):
             o = feats[:, axis]
             inv = inv_dir[axis]
-            lo = (box_ref[c, axis] - o) * inv
-            hi = (box_ref[c, 3 + axis] - o) * inv
+            lo = (box_ref[c * 8 + axis] - o) * inv
+            hi = (box_ref[c * 8 + 3 + axis] - o) * inv
             tnear = jnp.maximum(tnear, jnp.minimum(lo, hi))
             tfar = jnp.minimum(tfar, jnp.maximum(lo, hi))
         h = (tnear <= tfar) & (tfar > t_min) & (tnear < best_t)
@@ -823,10 +823,14 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((RAY_TILE, 1), lambda i, k, ids, cnt: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster boxes
+        # cluster boxes FLAT (ntt*8,): SMEM pads the minor dim of 2-D
+        # scalar arrays to 128 lanes (a (1494, 8) box table cost 765 KB
+        # of the 1 MB SMEM at hero-scene cluster counts)
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     common_in += [mat_spec(j) for j in range(C)]
-    args = [feats, tmax, fs.cluster_box] + [fs.trimat48] * C
+    args = ([feats, tmax, fs.cluster_box.reshape(-1)]
+            + [fs.trimat48] * C)
 
     if any_hit:
         grid_spec = pltpu.PrefetchScalarGridSpec(
