@@ -296,18 +296,32 @@ def reflections_pass(
     )
     feedback = color
     out = color
-    for i in range(cfg.atrous_iterations):
-        out, variance = filters.atrous_iteration(
-            out, variance, gb_scaled.normal, gb_scaled.linear_z,
-            step=1 << i,
-            radius=cfg.atrous_radius,
-            phi_color=cfg.phi_color,
-            phi_normal=cfg.phi_normal,
+    from hybrid_rendering_tpu.ops.bvh import _is_tpu_backend
+
+    if cfg.atrous_iterations > 0 and _is_tpu_backend():
+        from hybrid_rendering_tpu.ops.pallas.stencil import atrous_chain
+
+        steps = tuple(1 << i for i in range(cfg.atrous_iterations))
+        out, feedback, variance = atrous_chain(
+            color, variance, gb_scaled.normal, gb_scaled.linear_z,
+            denoise_mask, steps=steps, radius=cfg.atrous_radius,
+            phi_color=cfg.phi_color, phi_normal=cfg.phi_normal,
             sigma_depth=cfg.sigma_depth,
-            mask=denoise_mask,
+            feedback_iteration=cfg.feedback_iteration,
         )
-        if i == cfg.feedback_iteration:
-            feedback = out
+    else:
+        for i in range(cfg.atrous_iterations):
+            out, variance = filters.atrous_iteration(
+                out, variance, gb_scaled.normal, gb_scaled.linear_z,
+                step=1 << i,
+                radius=cfg.atrous_radius,
+                phi_color=cfg.phi_color,
+                phi_normal=cfg.phi_normal,
+                sigma_depth=cfg.sigma_depth,
+                mask=denoise_mask,
+            )
+            if i == cfg.feedback_iteration:
+                feedback = out
 
     new_state = ReflectionsState(
         history=feedback, moments=moments, history_length=hist_len

@@ -160,20 +160,38 @@ def shadows_pass(
 
     geom = gb_scaled.mesh_id >= 0
     feedback = vis
-    for i in range(cfg.atrous_iterations):
-        vis, variance = filters.atrous_iteration(
-            vis, variance, gb_scaled.normal, gb_scaled.linear_z,
-            step=1 << i,
-            radius=cfg.atrous_radius,
-            phi_color=cfg.phi_visibility,
-            phi_normal=cfg.phi_normal,
+    from hybrid_rendering_tpu.ops.bvh import _is_tpu_backend
+
+    if cfg.atrous_iterations > 0 and _is_tpu_backend():
+        # fused whole-image Pallas chain: the XLA pad+slice formulation
+        # materializes every tap to HBM (~40 ms at 1080p full-res)
+        from hybrid_rendering_tpu.ops.pallas.stencil import atrous_chain
+
+        steps = tuple(1 << i for i in range(cfg.atrous_iterations))
+        vis, feedback, variance = atrous_chain(
+            vis, variance, gb_scaled.normal, gb_scaled.linear_z, geom,
+            steps=steps, radius=cfg.atrous_radius,
+            phi_color=cfg.phi_visibility, phi_normal=cfg.phi_normal,
             sigma_depth=cfg.sigma_depth,
-            mask=geom,
+            feedback_iteration=cfg.feedback_iteration,
         )
-        if i == cfg.feedback_iteration:
-            feedback = vis  # history feedback copy (cpp:1177-1207)
-        if i == cfg.atrous_iterations - 1:
-            vis = jnp.power(jnp.maximum(vis, 0.0), cfg.power)  # comp:170-171
+        vis = jnp.power(jnp.maximum(vis, 0.0), cfg.power)  # comp:170-171
+    else:
+        for i in range(cfg.atrous_iterations):
+            vis, variance = filters.atrous_iteration(
+                vis, variance, gb_scaled.normal, gb_scaled.linear_z,
+                step=1 << i,
+                radius=cfg.atrous_radius,
+                phi_color=cfg.phi_visibility,
+                phi_normal=cfg.phi_normal,
+                sigma_depth=cfg.sigma_depth,
+                mask=geom,
+            )
+            if i == cfg.feedback_iteration:
+                feedback = vis  # history feedback copy (cpp:1177-1207)
+            if i == cfg.atrous_iterations - 1:
+                vis = jnp.power(jnp.maximum(vis, 0.0),
+                                cfg.power)  # comp:170-171
 
     new_state = ShadowsState(
         history=feedback, moments=moments, history_length=hist_len
