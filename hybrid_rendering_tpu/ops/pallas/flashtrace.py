@@ -62,7 +62,9 @@ import os as _os
 # rays per grid step (sublane-friendly multiples of (8,128) f32) and
 # triangles per grid step / culling cluster size. Env-overridable for
 # tuning sweeps (tools/bench_trace.py).
-RAY_TILE = int(_os.environ.get("FLASH_RAY_TILE", "512"))
+# 512 wins for pure visibility, but the closest-hit epilogue scales with
+# packet width and loses more (frame A/B: 614 ms @512 vs 594 ms @256)
+RAY_TILE = int(_os.environ.get("FLASH_RAY_TILE", "256"))
 TRI_TILE = int(_os.environ.get("FLASH_TRI_TILE", "128"))
 
 FEAT = 16  # 10 features padded to 16 lanes

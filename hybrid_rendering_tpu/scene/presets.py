@@ -11,7 +11,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional
 
-from hybrid_rendering_tpu.config import DDGIConfig, RendererConfig
+from hybrid_rendering_tpu.config import (DDGIConfig, RayTraceScale,
+                                         RendererConfig)
 from hybrid_rendering_tpu.scene.scenes import load_scene
 from hybrid_rendering_tpu.utils.animation import Keyframe
 
@@ -23,7 +24,8 @@ class ScenePreset:
     ddgi_probe_distance: float
     ddgi_normal_bias: float
     ddgi_infinite_bounce_intensity: float
-    ddgi_rays_per_probe: int = 256
+    ddgi_rays_per_probe: int = 128
+    ddgi_scale: int = 2  # sample-pass RayTraceScale (2 = quarter)
     ao_ray_length: float = 7.0  # ray_traced_ao.h:53, scene-scaled
     demo_keyframes: tuple = ()
 
@@ -63,6 +65,8 @@ PRESETS: Dict[str, ScenePreset] = {
         # so the reference-ratio grid stays.
         ddgi_probe_distance=1.5, ddgi_normal_bias=0.375,
         ddgi_infinite_bounce_intensity=1.0,  # physical (reference: 0.8)
+        # fidelity-gated scene keeps reference-grade GI settings
+        ddgi_rays_per_probe=256, ddgi_scale=1,
         # AO length scaled to the 10-unit box (reference: 7.0 in a
         # ~2x larger GI-test mesh; unscaled it darkens 2x too much)
         ao_ray_length=2.0,
@@ -104,6 +108,7 @@ def apply_preset(name: str, base: Optional[RendererConfig] = None):
             normal_bias=preset.ddgi_normal_bias,
             infinite_bounce_intensity=preset.ddgi_infinite_bounce_intensity,
             rays_per_probe=preset.ddgi_rays_per_probe,
+            scale=RayTraceScale(preset.ddgi_scale),
         ),
         ao=dataclasses.replace(cfg.ao, ray_length=preset.ao_ray_length),
     )
