@@ -102,10 +102,22 @@ def ao_pass(
     else:
         ao, hist_len = temporal_accumulation(raw, gb_scaled, prev_gb_scaled, state, cfg)
         temporal_out = ao
-        ao = filters.bilateral_blur_separable(
-            ao, gb_scaled.normal, gb_scaled.linear_z,
-            radius=cfg.blur_radius, mask=gb_scaled.mesh_id >= 0,
-        )
+        from hybrid_rendering_tpu.ops.bvh import _is_tpu_backend
+
+        if _is_tpu_backend():
+            from hybrid_rendering_tpu.ops.pallas.stencil import (
+                bilateral_blur,
+            )
+
+            ao = bilateral_blur(
+                ao, gb_scaled.normal, gb_scaled.linear_z,
+                gb_scaled.mesh_id >= 0, radius=cfg.blur_radius,
+            )
+        else:
+            ao = filters.bilateral_blur_separable(
+                ao, gb_scaled.normal, gb_scaled.linear_z,
+                radius=cfg.blur_radius, mask=gb_scaled.mesh_id >= 0,
+            )
 
     new_state = AOState(history=ao, history_length=hist_len)
 

@@ -202,3 +202,133 @@ def atrous_chain(color, variance, normal, depth, mask, *, steps,
         return ps[0] if C == 1 else jnp.stack(ps, axis=-1)
 
     return pack(planes), pack(fb), var
+
+
+def _make_blur_kernel(W, WP, M, BAND, radius, sigma, depth_phi,
+                      normal_power, masked):
+    n_in = 5  # img + nx + ny + nz + z
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        mask_ref = refs[n_in]
+        out_ref = refs[n_in + 1]
+        sems = refs[n_in + 2]
+        slabs = refs[n_in + 3:]
+
+        b = pl.program_id(0)
+        copies = [
+            pltpu.make_async_copy(
+                r.at[pl.ds(b * BAND, BAND + 2 * M), :], s.at[...],
+                sems.at[i])
+            for i, (r, s) in enumerate(zip(in_refs, slabs))
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        s_img, sn_x, sn_y, sn_z, sz = slabs
+
+        gauss = [float(np.exp(-(o * o) / (2.0 * sigma * sigma)))
+                 for o in range(-radius, radius + 1)]
+
+        # vertical pass over the full slab width (keeps the horizontal
+        # halo usable for the second pass)
+        HS = BAND + 2 * M
+
+        def v_tap(c, dy, y0, rows):
+            return c[y0 + dy:y0 + dy + rows, :]
+
+        y0 = radius  # vertical pass valid rows [radius, HS - radius)
+        rows = HS - 2 * radius
+        n0x = v_tap(sn_x, 0, y0, rows)
+        n0y = v_tap(sn_y, 0, y0, rows)
+        n0z = v_tap(sn_z, 0, y0, rows)
+        z0 = v_tap(sz, 0, y0, rows)
+        acc = jnp.zeros((rows, WP), jnp.float32)
+        wsum = jnp.zeros((rows, WP), jnp.float32)
+        for i, dy in enumerate(range(-radius, radius + 1)):
+            ndot = jnp.clip(
+                n0x * v_tap(sn_x, dy, y0, rows)
+                + n0y * v_tap(sn_y, dy, y0, rows)
+                + n0z * v_tap(sn_z, dy, y0, rows), 0.0, 1.0)
+            wn = ndot ** normal_power
+            wz = jnp.exp(-jnp.abs(z0 - v_tap(sz, dy, y0, rows)) / depth_phi)
+            w = gauss[i] * wn * wz
+            acc = acc + v_tap(s_img, dy, y0, rows) * w
+            wsum = wsum + w
+        vimg = acc / jnp.maximum(wsum, 1e-8)  # (rows, WP)
+
+        # horizontal pass on the band rows only
+        r0 = M - radius  # band top within vimg coords
+        def h_tap(c, dx):
+            return c[r0:r0 + BAND, M + dx:M + dx + W]
+
+        def g_tap(c, dx):
+            return c[M:M + BAND, M + dx:M + dx + W]
+
+        n0x = g_tap(sn_x, 0)
+        n0y = g_tap(sn_y, 0)
+        n0z = g_tap(sn_z, 0)
+        z0 = g_tap(sz, 0)
+        acc = jnp.zeros((BAND, W), jnp.float32)
+        wsum = jnp.zeros((BAND, W), jnp.float32)
+        for i, dx in enumerate(range(-radius, radius + 1)):
+            ndot = jnp.clip(
+                n0x * g_tap(sn_x, dx) + n0y * g_tap(sn_y, dx)
+                + n0z * g_tap(sn_z, dx), 0.0, 1.0)
+            wn = ndot ** normal_power
+            wz = jnp.exp(-jnp.abs(z0 - g_tap(sz, dx)) / depth_phi)
+            w = gauss[i] * wn * wz
+            acc = acc + h_tap(vimg, dx) * w
+            wsum = wsum + w
+        out = acc / jnp.maximum(wsum, 1e-8)
+        if masked:
+            mask = mask_ref[:] > 0.5
+            out = jnp.where(mask, out, g_tap(s_img, 0))
+        out_ref[:] = out
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "depth_phi", "normal_power", "masked",
+                     "interpret"),
+)
+def bilateral_blur(img, normal, depth, mask, *, radius=4, depth_phi=1.0,
+                   normal_power=32.0, masked=True, interpret=False):
+    """Banded Pallas version of ops/filters.bilateral_blur_separable
+    (ao_denoise_bilateral_blur.comp:75-110): vertical then horizontal
+    Gaussian with depth/normal edge stops, fused into one call."""
+    H, W = img.shape
+    sigma = radius / 1.5
+    M = -(-radius // 8) * 8
+    BAND = min(_BAND, -(-H // 8) * 8)
+    HB = -(-H // BAND) * BAND
+    WP = -(-(W + 2 * M) // 128) * 128
+
+    def pad_c(x):
+        return jnp.pad(x.astype(jnp.float32),
+                       ((M, HB - H + M), (M, WP - W - M)), mode="edge")
+
+    ins = [pad_c(img), pad_c(normal[..., 0]), pad_c(normal[..., 1]),
+           pad_c(normal[..., 2]), pad_c(depth)]
+    kernel = _make_blur_kernel(W, WP, M, BAND, int(radius), float(sigma),
+                               float(depth_phi), float(normal_power),
+                               bool(masked))
+    out = pl.pallas_call(
+        kernel,
+        grid=(HB // BAND,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5
+        + [pl.BlockSpec((BAND, W), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BAND, W), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((HB, W), jnp.float32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((5,))]
+        + [pltpu.VMEM((BAND + 2 * M, WP), jnp.float32)] * 5,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins, jnp.pad(mask.astype(jnp.float32), ((0, HB - H), (0, 0))))
+    return out[:H]

@@ -93,3 +93,26 @@ def test_matches_xla_chain_rgb(steps):
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fb_ref),
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(v_out), np.asarray(v), atol=3e-5)
+
+
+def test_bilateral_blur_matches_xla():
+    from hybrid_rendering_tpu.ops.pallas.stencil import bilateral_blur
+
+    H, W = 96, 128
+    rs = np.random.RandomState(5)
+    img = rs.uniform(0, 1, (H, W)).astype(np.float32)
+    n = np.zeros((H, W, 3), np.float32)
+    n[..., 1] = 1.0
+    n[H // 2:] = [1, 0, 0]
+    depth = np.full((H, W), 4.0, np.float32)
+    depth[:, W // 2:] = 8.0
+    mask = np.ones((H, W), bool)
+    mask[:3, :3] = False
+
+    ref = np.asarray(filters.bilateral_blur_separable(
+        jnp.asarray(img), jnp.asarray(n), jnp.asarray(depth), radius=4,
+        depth_phi=1.0, normal_power=32.0, mask=jnp.asarray(mask)))
+    out = np.asarray(bilateral_blur(
+        jnp.asarray(img), jnp.asarray(n), jnp.asarray(depth),
+        jnp.asarray(mask), radius=4, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
