@@ -25,7 +25,7 @@ GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _build(scene_name, W, H, *, sh=True, ao=True, rf=True, gi=True,
-           taa=True):
+           taa=True, debug=False):
     import dataclasses
 
     from hybrid_rendering_tpu.config import (
@@ -38,7 +38,7 @@ def _build(scene_name, W, H, *, sh=True, ao=True, rf=True, gi=True,
     from hybrid_rendering_tpu.scene.presets import apply_preset
 
     base = RendererConfig(
-        width=W, height=H,
+        width=W, height=H, debug_outputs=debug,
         shadows=ShadowsConfig(scale=RayTraceScale.FULL, enabled=sh),
         ao=AOConfig(scale=RayTraceScale.HALF, enabled=ao),
         reflections=ReflectionsConfig(scale=RayTraceScale.HALF, enabled=rf),
@@ -149,7 +149,7 @@ def main():
     try:
         from hybrid_rendering_tpu.utils.oracle import fidelity_report
 
-        rg, lg, cg = _build("gi_test", 256, 256, taa=False)
+        rg, lg, cg = _build("gi_test", 256, 256, taa=False, debug=True)
         cam = rg.make_camera(cg["eye"], cg["target"], 0)
         rep = fidelity_report(rg, cam, lg, hybrid_frames=32, gt_spp=96)
         detail["fidelity"] = {
