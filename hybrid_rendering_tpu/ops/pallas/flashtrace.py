@@ -517,23 +517,6 @@ def _split_bf16(x):
     return hi, lo
 
 
-_DOT_PASSES = int(_os.environ.get("FLASH_DOT_PASSES", "3"))  # debug knob
-
-
-def _dot_x3(f_hi, f_lo, m_hi_ref, m_lo_ref):
-    """Split-operand bf16x3 matmul: ~f32 accuracy at 3 MXU passes
-    (vs 6 for Precision.HIGHEST). The dropped lo@lo term is below one ulp
-    of the result."""
-    m_hi = m_hi_ref[:]
-    out = jnp.dot(f_hi, m_hi, preferred_element_type=jnp.float32)
-    if _DOT_PASSES >= 2:
-        out = out + jnp.dot(f_lo, m_hi, preferred_element_type=jnp.float32)
-    if _DOT_PASSES >= 3:
-        out = out + jnp.dot(f_hi, m_lo_ref[:],
-                            preferred_element_type=jnp.float32)
-    return out
-
-
 # relative slop on the numerator-space barycentric acceptance: bf16x3
 # rounding can push an exact-edge hit a hair negative; being slightly
 # inclusive instead re-tests shared edges on both triangles (harmless,
