@@ -23,6 +23,7 @@ TPU-first redesign:
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional
 
 import numpy as np
@@ -364,6 +365,70 @@ def _spherical_fibonacci(n: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _direction_sort_perm(dirs: jax.Array) -> jax.Array:
+    """Permutation grouping unit directions into coherent cones: sort by
+    a 4+4-bit Morton code of the octahedral map. Consecutive chunks of
+    the permuted array then span ~1/32 of the sphere, which is what makes
+    probe-ray packets culled well by the FlashTrace prepass (a packet's
+    direction interval no longer straddles zero on every axis)."""
+    a = jnp.sum(jnp.abs(dirs), axis=-1, keepdims=True)
+    n = dirs / jnp.maximum(a, 1e-12)
+    sx = jnp.where(n[:, 0] >= 0, 1.0, -1.0)
+    sy = jnp.where(n[:, 1] >= 0, 1.0, -1.0)
+    up = n[:, 2] >= 0
+    u = jnp.where(up, n[:, 0], (1.0 - jnp.abs(n[:, 1])) * sx)
+    v = jnp.where(up, n[:, 1], (1.0 - jnp.abs(n[:, 0])) * sy)
+    qu = jnp.clip(((u * 0.5 + 0.5) * 16.0).astype(jnp.int32), 0, 15)
+    qv = jnp.clip(((v * 0.5 + 0.5) * 16.0).astype(jnp.int32), 0, 15)
+    key = jnp.zeros_like(qu)
+    for b in range(4):
+        key = key | (((qu >> b) & 1) << (2 * b)) | (((qv >> b) & 1) << (2 * b + 1))
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def _morton3_np(x, y, z):
+    """Interleaved 3-D Morton code (numpy, 10 bits/axis)."""
+    code = np.zeros_like(x, dtype=np.int64)
+    for b in range(10):
+        code |= ((x >> b) & 1) << (3 * b)
+        code |= ((y >> b) & 1) << (3 * b + 1)
+        code |= ((z >> b) & 1) << (3 * b + 2)
+    return code
+
+
+def _probe_tile_perm(counts, tile: int):
+    """Static (numpy) probe permutation into spatially-compact tiles:
+    Morton order over grid coords, padded to a multiple of `tile` by
+    repeating the last probe. Returns (perm (P_pad,), inv_rows (P,)):
+    perm[slot] = original x-major probe index; inv_rows[p] = first slot
+    holding probe p."""
+    px, py, pz = counts
+    zz, yy, xx = np.meshgrid(
+        np.arange(pz), np.arange(py), np.arange(px), indexing="ij"
+    )
+    xs = xx.reshape(-1)
+    ys = yy.reshape(-1)
+    zs = zz.reshape(-1)
+    linear = xs + px * (ys + py * zs)  # x-major index of each meshgrid row
+    order = np.argsort(_morton3_np(xs, ys, zs), kind="stable")
+    perm = linear[order].astype(np.int32)
+    P = perm.shape[0]
+    p_pad = -(-P // tile) * tile
+    perm = np.concatenate([perm, np.full(p_pad - P, perm[-1], np.int32)])
+    inv = np.zeros(P, np.int64)
+    for s in range(p_pad - 1, -1, -1):  # first occurrence wins
+        inv[perm[s]] = s
+    return perm, inv.astype(np.int32)
+
+
+# packet geometry for the coherent probe-ray layout: PACKET rays per
+# FlashTrace packet = (PACKET // DIR_CHUNK probes) x (DIR_CHUNK cone
+# directions). Smaller DIR_CHUNK = tighter cones but wider probe tiles.
+_PACKET = int(os.environ.get("FLASH_RAY_TILE", "256"))
+DIR_CHUNK = int(os.environ.get("DDGI_DIR_CHUNK", "8"))
+COHERENT_RAYS = os.environ.get("DDGI_COHERENT", "1") == "1"
+
+
 def _random_rotation(frame_index) -> jax.Array:
     """Per-frame random rotation matrix (host mt19937 in the reference,
     ddgi.cpp:788; here a hash-seeded on-device quaternion)."""
@@ -412,19 +477,68 @@ def ddgi_update(
     ray_dirs = normalize(fib @ rot.T)  # (R,3) shared by all probes
 
     origins = probe_positions(grid)  # (P,3)
-    o = jnp.broadcast_to(origins[:, None, :], (P, R, 3)).reshape(-1, 3)
-    d = jnp.broadcast_to(ray_dirs[None, :, :], (P, R, 3)).reshape(-1, 3)
+
+    # Coherent packetization (the probe update is otherwise the most
+    # incoherent trace in the frame: one origin, full-sphere directions
+    # per packet -> the sparse prepass can cull nothing). Reorder rays as
+    # (probe tile x direction cone) packets: Morton-tiled probes supply a
+    # compact origin box, Morton-octahedral-sorted directions a narrow
+    # cone, so per-packet cluster lists become short. All per-ray math is
+    # order-independent; the accumulation einsum gets the matching layout
+    # via _unpack below, and ray_dirs itself is re-ordered once so texel
+    # cos-weights line up with the permuted ray axis.
+    coherent = COHERENT_RAYS and R % DIR_CHUNK == 0 and P * R >= _PACKET
+    if coherent:
+        DC = DIR_CHUNK
+        PT = _PACKET // DC
+        perm_d = _direction_sort_perm(ray_dirs)
+        ray_dirs = ray_dirs[perm_d]
+        perm_p, inv_rows = _probe_tile_perm(grid.counts, PT)
+        p_pad = perm_p.shape[0]
+        n_pt, n_dc = p_pad // PT, R // DC
+        origins_t = origins[jnp.asarray(perm_p)]  # (p_pad, 3)
+        o = jnp.broadcast_to(
+            origins_t.reshape(n_pt, 1, PT, 1, 3),
+            (n_pt, n_dc, PT, DC, 3)).reshape(-1, 3)
+        d = jnp.broadcast_to(
+            ray_dirs.reshape(1, n_dc, 1, DC, 3),
+            (n_pt, n_dc, PT, DC, 3)).reshape(-1, 3)
+        N = p_pad * R
+        idx = jnp.arange(N, dtype=jnp.uint32)
+        ray_slot = ((idx // (PT * DC)) % n_dc) * DC + idx % DC
+        # rng streams keyed by the ORIGINAL Fibonacci index, so per-ray
+        # randomness is identical in both layouts (determinism under the
+        # DDGI_COHERENT toggle)
+        ray_ids = perm_d.astype(jnp.uint32)[ray_slot]
+        probe_slot = (idx // (n_dc * PT * DC)) * PT + (idx // DC) % PT
+        probe_ids = jnp.asarray(perm_p).astype(jnp.uint32)[probe_slot]
+
+        def _unpack(x):
+            """Packet-ordered (N, C?) -> (P, R, C?) in original probe
+            order; the ray axis stays in permuted-direction order,
+            matching the re-ordered ray_dirs."""
+            c = x.shape[1] if x.ndim == 2 else 1
+            y = x.reshape(n_pt, n_dc, PT, DC, c)
+            y = y.transpose(0, 2, 1, 3, 4).reshape(p_pad, R, c)
+            y = y[jnp.asarray(inv_rows)]
+            return y if x.ndim == 2 else y[..., 0]
+    else:
+        o = jnp.broadcast_to(origins[:, None, :], (P, R, 3)).reshape(-1, 3)
+        d = jnp.broadcast_to(ray_dirs[None, :, :], (P, R, 3)).reshape(-1, 3)
+        N = P * R
+        idx = jnp.arange(N, dtype=jnp.uint32)
+        ray_ids = idx % jnp.uint32(R)
+        probe_ids = idx // jnp.uint32(R)
+
+        def _unpack(x):
+            return x.reshape((P, R) + x.shape[1:])
 
     hit, surf = closest_surface_fn(o, d, 1e4)
 
     # --- shade (gi_ray_trace.rchit:95-128) ---
     f0 = brdf_ops.f0_from_metallic(surf.albedo, surf.metallic)
     c_diff = surf.albedo * (1.0 - f0) * (1.0 - surf.metallic[:, None])
-    rng = rng_ops.rng_init(
-        jnp.arange(P * R, dtype=jnp.uint32) % jnp.uint32(R),
-        jnp.arange(P * R, dtype=jnp.uint32) // jnp.uint32(R),
-        frame_index,
-    )
+    rng = rng_ops.rng_init(ray_ids, probe_ids, frame_index)
     rng, rs = rng_ops.next_vec2(rng)
     rng, rsky = rng_ops.next_vec2(rng)
     radiance = direct_lighting(
@@ -451,8 +565,11 @@ def ddgi_update(
         )
 
     env = sky_radiance_fn(d)
-    radiance = jnp.where(hit.valid[:, None], radiance, env)  # (P*R,3)
-    hit_dist = jnp.where(hit.valid, hit.t, -1.0)  # (P*R,)
+    radiance = jnp.where(hit.valid[:, None], radiance, env)
+    hit_dist = jnp.where(hit.valid, hit.t, -1.0)
+    # back to (P, R, .) in original probe order for the accumulation
+    radiance = _unpack(radiance)  # (P, R, 3)
+    hit_dist = _unpack(hit_dist)  # (P, R)
 
     # --- probe update as shared-weight matmuls (gi_probe_update.glsl) ---
     # physically 1.0; the reference's 0.95 (gi_probe_update.glsl) stacks
@@ -472,7 +589,7 @@ def ddgi_update(
         w = jnp.where(w >= 1e-8, w, 0.0)
         total = jnp.sum(w, axis=1)  # (T,) same for all probes
         C = values.shape[-1]
-        vals = values.reshape(P, R, C)
+        vals = values  # (P, R, C)
         acc = jnp.einsum(
             "tr,prc->ptc", w, vals, preferred_element_type=jnp.float32
         )

@@ -417,7 +417,7 @@ def _flash_closest_impl(fs: FlashScene, origin, direction, t_max, t_min,
     return hit
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
 def flash_closest_hit(
     fs: FlashScene, origin, direction, t_max, t_min=1e-3, interpret=False
 ) -> Hit:
@@ -426,7 +426,7 @@ def flash_closest_hit(
                                interpret, with_attrs=False)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
 def flash_closest_hit_attrs(
     fs: FlashScene, origin, direction, t_max, t_min=1e-3, interpret=False
 ):
@@ -449,14 +449,21 @@ def packet_cluster_lists(fs: FlashScene, origin, direction, t_max,
     For each 256-ray packet, interval arithmetic over the packet's origin /
     direction bounds gives a lower bound on the slab-entry t and an upper
     bound on the slab-exit t per cluster AABB; a cluster is listed iff some
-    ray could hit it. Lists are sorted by entry distance (near first, so
-    the kernel's running best-t prunes far clusters) and padded by
-    repeating the last valid id (same block -> no extra DMA).
+    ray could hit it. A second, direction-free bound — the euclidean
+    distance from the packet's origin box to the cluster box, valid as an
+    entry-t lower bound because ray directions are unit length — culls by
+    t_max even when a direction interval straddles zero (AO / probe /
+    hemisphere packets), where the slab intervals alone give no cull.
+    Lists are sorted by entry distance (near first, so the kernel's
+    running best-t prunes far clusters) and padded by repeating the last
+    valid id (same block -> no extra DMA).
 
-    Returns (ids (P, K) int32, counts (P, 1) int32). K = min(NTT, k_cap).
-    Completeness: exact when counts <= K everywhere; packets intersecting
-    more than K clusters drop the FARTHEST ones (tests assert our scenes
-    never overflow; raise k_cap for pathological cases).
+    Returns (ids (P*K,) int32, counts (P,) int32 clamped to K,
+    raw_counts (P,) int32 unclamped). K = min(NTT, k_cap). Completeness:
+    exact when raw_counts <= K everywhere; packets intersecting more than
+    K clusters drop the FARTHEST ones — callers must detect
+    raw_counts > K and fall back (see _flash_sparse_impl's lax.cond to
+    the dense kernel).
     """
     R = origin.shape[0]
     ntt = fs.num_tri_tiles
@@ -493,14 +500,21 @@ def packet_cluster_lists(fs: FlashScene, origin, direction, t_max,
     exit_ub = jnp.where(straddle, BIG_T, jnp.maximum(t0_hi, t1_hi))
     tnear_lb = jnp.max(entry_lb, axis=-1)  # (P, NTT)
     tfar_ub = jnp.min(exit_ub, axis=-1)
+    # direction-free entry bound: distance(origin box, cluster box) <= t
+    # for unit directions (every production ray is normalized). Tightens
+    # both the cull and the near-first sort for straddling packets.
+    gap = jnp.maximum(jnp.maximum(blo - ohi, olo - bhi), 0.0)  # (P,NTT,3)
+    dist_lb = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # (P, NTT)
+    entry_t_lb = jnp.maximum(jnp.maximum(tnear_lb, 0.0), dist_lb)
     hit = (
         (tnear_lb <= tfar_ub)
         & (tfar_ub > t_min)
-        & (tnear_lb < tmax_ub[:, None])
+        & (entry_t_lb < tmax_ub[:, None])
     )
-    key = jnp.where(hit, jnp.maximum(tnear_lb, 0.0), BIG_T)
+    key = jnp.where(hit, entry_t_lb, BIG_T)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (P, NTT)
-    counts = jnp.sum(hit, axis=1).astype(jnp.int32)
+    raw_counts = jnp.sum(hit, axis=1).astype(jnp.int32)
+    counts = jnp.minimum(raw_counts, K)
     # pad entries past a packet's count (and past NTT when K > NTT) by
     # repeating the last live cluster — same block, no extra DMA
     kk = jnp.arange(K, dtype=jnp.int32)[None, :]
@@ -508,7 +522,7 @@ def packet_cluster_lists(fs: FlashScene, origin, direction, t_max,
     ids = jnp.take_along_axis(order, take, axis=1)
     # 1-D layouts: 2-D int arrays in SMEM are lane-padded to 128 wide,
     # blowing the ~1 MB SMEM budget at screen-scale packet counts
-    return ids.reshape(-1), jnp.minimum(counts, K)
+    return ids.reshape(-1), counts, raw_counts
 
 
 def _split_bf16(x):
@@ -874,10 +888,18 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
     )(ids, counts, *args)
 
 
+# overflow handling: when any packet's raw candidate count exceeds the
+# list capacity K, the whole call falls back to the dense kernel (exact,
+# O(P*NTT)) via lax.cond — only one branch executes at runtime. Off only
+# for perf experiments (silently drops the farthest clusters!).
+OVERFLOW_DENSE = _os.environ.get("FLASH_OVERFLOW_DENSE", "1") == "1"
+
+
 def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
                        interpret, with_attrs, any_hit=False,
                        k_cap=MAX_CLUSTERS, vis_bf16=None):
     R = origin.shape[0]
+    orig_origin, orig_direction, orig_tmax = origin, direction, t_max
     r_pad = max(RAY_TILE, -(-R // RAY_TILE) * RAY_TILE)
     origin = _pad_rays(origin, r_pad)
     direction = _pad_rays(
@@ -889,43 +911,60 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
     )
     C = max(1, CLUSTERS_PER_STEP)
     k_eff = max(C, -(-min(fs.num_tri_tiles, k_cap) // C) * C)
-    ids, counts = packet_cluster_lists(
+    ids, counts, raw_counts = packet_cluster_lists(
         fs, origin, direction, tmax[:, 0], t_min=t_min, k_list=k_eff)
     P = counts.shape[0]
     K = ids.shape[0] // P
 
-    # chunk the packet dim if the prefetch tables exceed the SMEM budget
-    chunk_p = max(1, _SMEM_ENTRY_BUDGET // K)
-    chunks = []
-    for p0 in range(0, P, chunk_p):
-        p1 = min(P, p0 + chunk_p)
-        sl = slice(p0 * RAY_TILE, p1 * RAY_TILE)
-        chunks.append(_sparse_call(
-            fs, feats[sl], tmax[sl], ids[p0 * K : p1 * K], counts[p0:p1],
-            t_min, interpret, with_attrs, any_hit, K, C,
-            vis_bf16=vis_bf16))
+    def sparse_branch():
+        # chunk the packet dim if the prefetch tables exceed the SMEM
+        # budget
+        chunk_p = max(1, _SMEM_ENTRY_BUDGET // K)
+        chunks = []
+        for p0 in range(0, P, chunk_p):
+            p1 = min(P, p0 + chunk_p)
+            sl = slice(p0 * RAY_TILE, p1 * RAY_TILE)
+            chunks.append(_sparse_call(
+                fs, feats[sl], tmax[sl], ids[p0 * K : p1 * K],
+                counts[p0:p1], t_min, interpret, with_attrs, any_hit, K, C,
+                vis_bf16=vis_bf16))
 
-    if any_hit:
-        vis = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
-        return vis[:R, 0].astype(jnp.float32)
+        if any_hit:
+            vis = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+            return vis[:R, 0].astype(jnp.float32)
 
-    if len(chunks) == 1:
-        outs = chunks[0]
-    else:
-        outs = [jnp.concatenate(parts) for parts in zip(*chunks)]
-    best, tid = outs[0], outs[1]
-    t = best[:R, 0]
-    tid = tid[:R, 0]
-    missed = tid < 0
-    hit = Hit(
-        t=t,
-        tri_id=jnp.where(missed, -1, jnp.minimum(tid, fs.num_tris - 1)),
-        u=best[:R, 1],
-        v=best[:R, 2],
-    )
-    if with_attrs:
-        return hit, outs[2][:R]
-    return hit
+        if len(chunks) == 1:
+            outs = chunks[0]
+        else:
+            outs = [jnp.concatenate(parts) for parts in zip(*chunks)]
+        best, tid = outs[0], outs[1]
+        t = best[:R, 0]
+        tid = tid[:R, 0]
+        missed = tid < 0
+        hit = Hit(
+            t=t,
+            tri_id=jnp.where(missed, -1, jnp.minimum(tid, fs.num_tris - 1)),
+            u=best[:R, 1],
+            v=best[:R, 2],
+        )
+        if with_attrs:
+            return hit, outs[2][:R]
+        return hit
+
+    if k_eff >= fs.num_tri_tiles or not OVERFLOW_DENSE:
+        return sparse_branch()  # overflow statically impossible (or off)
+
+    def dense_branch():
+        if any_hit:
+            return flash_visibility(
+                fs, orig_origin, orig_direction, orig_tmax, t_min=t_min,
+                interpret=interpret).astype(jnp.float32)
+        return _flash_closest_impl(
+            fs, orig_origin, orig_direction, orig_tmax, t_min, interpret,
+            with_attrs=with_attrs)
+
+    overflow = jnp.any(raw_counts > K)
+    return jax.lax.cond(overflow, dense_branch, sparse_branch)
 
 
 def flash_closest_hit_sparse(fs, origin, direction, t_max, t_min=1e-3,
@@ -953,7 +992,7 @@ def flash_visibility_sparse(fs, origin, direction, t_max, t_min=1e-3,
                               vis_bf16=vis_bf16)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
 def flash_visibility(
     fs: FlashScene, origin, direction, t_max, t_min=1e-3, interpret=False
 ):

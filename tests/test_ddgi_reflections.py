@@ -177,3 +177,35 @@ class TestReflections:
         assert ldr.mean() > 0.01
         gi = np.asarray(outputs["ddgi"])
         assert gi.max() > 0.0  # some indirect light present
+
+
+def test_coherent_probe_packets_match_naive_layout(monkeypatch):
+    """The (probe tile x direction cone) packet reorder must produce the
+    same probe atlases as the naive probe-major layout — it only changes
+    ray ORDER (plus duplicate padded probes whose results are dropped).
+    Einsum accumulation order differs, so compare with a float tolerance."""
+    scene = _small_scene()
+    closest = bvh_mod.make_surface_tracer(scene)
+    vis = bvh_mod.make_tracers(scene)[1]
+    cfg = DDGIConfig(probe_distance=2.0, rays_per_probe=32,
+                     infinite_bounces=False)
+    grid = ddgi_mod.make_probe_grid([-3, 0, -3], [3, 3, 3], cfg)
+    sky = ConstantSky(color=jnp.asarray([0.4, 0.5, 0.6]))
+    light = Light.directional(direction=(0.3, 0.9, 0.2), intensity=4.0)
+
+    states = {}
+    for coherent in (False, True):
+        monkeypatch.setattr(ddgi_mod, "COHERENT_RAYS", coherent)
+        state = ddgi_mod.DDGIState.create(grid.num_probes, cfg)
+        for i in range(2):
+            state = ddgi_mod.ddgi_update(
+                scene, closest, vis, grid, state, light, sky.radiance, i, cfg
+            )
+        states[coherent] = state
+
+    np.testing.assert_allclose(
+        np.asarray(states[True].irradiance),
+        np.asarray(states[False].irradiance), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(states[True].depth),
+        np.asarray(states[False].depth), rtol=2e-4, atol=2e-3)

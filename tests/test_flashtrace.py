@@ -196,7 +196,73 @@ def test_packet_lists_no_overflow_on_scenes():
         d = rs.normal(scale=0.08, size=(R, 3)).astype(np.float32)
         d += np.float32([0, -0.2, -1.0])
         d /= np.linalg.norm(d, axis=1, keepdims=True)
-        ids, counts = flashtrace.packet_cluster_lists(
+        ids, counts, raw = flashtrace.packet_cluster_lists(
             fs, jnp.asarray(o), jnp.asarray(d),
             jnp.full((R,), 1e4, jnp.float32))
         assert int(np.asarray(counts).max()) <= flashtrace.MAX_CLUSTERS
+
+
+def test_sparse_overflow_falls_back_dense():
+    """When a packet's raw candidate count exceeds the list capacity K,
+    the sparse call must lax.cond over to the exact dense kernel instead
+    of silently dropping clusters (ADVICE r2 high: incoherent probe/AO
+    packets list every cluster and an arbitrary first-K was kept)."""
+    tri = _random_tris(1024, seed=7)  # 8 clusters at TRI_TILE=128
+    fs = flashtrace.make_flash_scene(jnp.asarray(tri))
+    assert fs.num_tri_tiles >= 8
+    # incoherent packet: one origin, directions over the whole sphere
+    rs = np.random.RandomState(5)
+    o = np.zeros((256, 3), np.float32)
+    d = rs.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tm = jnp.full((256,), 1e5, jnp.float32)
+    _, _, raw = flashtrace.packet_cluster_lists(
+        fs, jnp.asarray(o), jnp.asarray(d), tm, k_list=4)
+    assert int(np.asarray(raw).max()) > 4, "test premise: packet overflows"
+
+    hit_s = flashtrace._flash_sparse_impl(
+        fs, jnp.asarray(o), jnp.asarray(d), tm, 1e-3, True,
+        with_attrs=False, k_cap=4)
+    hit_d = flashtrace.flash_closest_hit(
+        fs, jnp.asarray(o), jnp.asarray(d), tm, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(hit_s.tri_id), np.asarray(hit_d.tri_id))
+    np.testing.assert_allclose(
+        np.asarray(hit_s.t), np.asarray(hit_d.t), rtol=1e-5)
+
+    vis_s = flashtrace._flash_sparse_impl(
+        fs, jnp.asarray(o), jnp.asarray(d), tm, 1e-3, True,
+        with_attrs=False, any_hit=True, k_cap=4)
+    vis_d = flashtrace.flash_visibility(
+        fs, jnp.asarray(o), jnp.asarray(d), tm, interpret=True)
+    np.testing.assert_array_equal(np.asarray(vis_s), np.asarray(vis_d))
+
+
+def test_short_ray_distance_cull():
+    """The direction-free distance bound must cull far clusters for
+    hemisphere-style (straddling) packets with short t_max — AO packets
+    rely on this to stay under the list capacity."""
+    tri = _random_tris(1024, seed=9, scale=20.0)
+    # spatially-sorted tris -> tight cluster AABBs (scene compile uses
+    # BVH/Morton leaf order in production)
+    tri = tri[np.argsort(tri.mean(axis=1)[:, 0], kind="stable")]
+    fs = flashtrace.make_flash_scene(jnp.asarray(tri))
+    rs = np.random.RandomState(6)
+    o = np.float32([0.0, 0.0, 0.0])[None].repeat(256, 0)
+    o += rs.normal(scale=0.2, size=(256, 3)).astype(np.float32)
+    d = rs.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    short = jnp.full((256,), 0.5, jnp.float32)
+    long = jnp.full((256,), 1e5, jnp.float32)
+    _, _, raw_short = flashtrace.packet_cluster_lists(
+        fs, jnp.asarray(o), jnp.asarray(d), short)
+    _, _, raw_long = flashtrace.packet_cluster_lists(
+        fs, jnp.asarray(o), jnp.asarray(d), long)
+    assert int(np.asarray(raw_short).max()) < int(np.asarray(raw_long).max())
+    # and the culled short-ray trace still matches the dense oracle
+    hit_s = flashtrace.flash_closest_hit_sparse(
+        fs, jnp.asarray(o), jnp.asarray(d), short, interpret=True)
+    hit_d = flashtrace.flash_closest_hit(
+        fs, jnp.asarray(o), jnp.asarray(d), short, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(hit_s.tri_id), np.asarray(hit_d.tri_id))

@@ -48,9 +48,9 @@ def main():
     d = bvh_mod._block_linearize(d_img, H, W, b)
     tm = jnp.full((H * W,), 1e4, jnp.float32)
 
-    ids, counts = jax.jit(
+    ids, counts, raw = jax.jit(
         lambda oo, dd, t: ft.packet_cluster_lists(fs, oo, dd, t))(o, d, tm)
-    c = np.asarray(counts)
+    c = np.asarray(raw)
     print(f"primary packets: clusters/packet mean={c.mean():.2f} "
           f"max={c.max()} of {fs.num_tri_tiles}", flush=True)
 
@@ -72,9 +72,9 @@ def main():
     so = hitp + 1e-2 * ldir
     stm = jnp.where(hit.tri_id >= 0, 1e4, 0.0)
 
-    ids, counts = jax.jit(
+    ids, counts, raw = jax.jit(
         lambda oo, dd, t: ft.packet_cluster_lists(fs, oo, dd, t))(so, ldir, stm)
-    c = np.asarray(counts)
+    c = np.asarray(raw)
     print(f"shadow packets: clusters/packet mean={c.mean():.2f} max={c.max()}",
           flush=True)
     for name, fn in [
