@@ -21,6 +21,7 @@ in coherent tiles; equivalent to sampling a neighboring probe).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import numpy as np
 import jax
@@ -124,8 +125,17 @@ def _oct_texel_taps_cols(dx, dy, dz, side):
     return taps
 
 
+# atlases at or below this padded size live wholly in VMEM and windows are
+# direct dynamic-slice reads (no per-tile HBM DMA: the 4x4x16 window pair
+# is ~3 MB/tile, 6 GB of HBM traffic per 518k-point call — measured 74 ms;
+# VMEM-resident cut it to the matmul floor). Larger atlases (hero scenes)
+# keep the double-buffered HBM window path.
+VMEM_ATLAS_BYTES = int(_os.environ.get("DDGI_VMEM_ATLAS_BYTES",
+                                       str(40 * 1024 * 1024)))
+
+
 def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
-                 irr_side, dep_side, tile):
+                 irr_side, dep_side, tile, atlas_vmem=False):
     Px, Py, Pz = (int(c) for c in grid_counts)
     Pxy = Px * Py
     TILE_PTS = tile  # shadows the module default (64 for small frames)
@@ -142,7 +152,7 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
     DEP_LANES = 2 * DEP_PLANE
 
     def kernel(bases_ref, pts_ref, irr_ref, dep_ref, icol_ref, dcol_ref,
-               out_ref, sc_irr, sc_dep, sems):
+               out_ref, *scratch):
         t = pl.program_id(0)
         nt = pl.num_programs(0)
         # per-tile window base packed 10 bits/axis into one i32 — a flat
@@ -153,52 +163,66 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
         bx = bw & 1023
         by = (bw >> 10) & 1023
         bz = (bw >> 20) & 1023
+        x_al0 = pl.multiple_of((bx // 8) * 8, 8)
 
-        # Double-buffered probe-window DMA. The atlases are laid out 4-D
-        # (Pz, Py, Px_pad, lanes) so the whole 3x3x16 probe window is ONE
-        # DMA per atlas (the earlier 36 small per-row copies were
-        # DMA-issue-bound at ~27 us/tile). The x offset must be 8-aligned
-        # (sublane tiling); the remainder folds into the per-pixel window
-        # index. Px is padded by 16 so runs never overrun.
-        def window_copies(ti, slot):
-            tbw = bases_ref[ti]
-            tbx = tbw & 1023
-            tby = (tbw >> 10) & 1023
-            tbz = (tbw >> 20) & 1023
-            x_al = pl.multiple_of((tbx // 8) * 8, 8)
-            return [
-                pltpu.make_async_copy(
-                    irr_ref.at[pl.ds(tbz, W_WIN), pl.ds(tby, W_WIN),
-                               pl.ds(x_al, 16), :],
-                    sc_irr.at[slot],
-                    sems.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    dep_ref.at[pl.ds(tbz, W_WIN), pl.ds(tby, W_WIN),
-                               pl.ds(x_al, 16), :],
-                    sc_dep.at[slot],
-                    sems.at[slot, 1],
-                ),
-            ]
+        if atlas_vmem:
+            # whole atlases are VMEM blocks: the (4, 4, 16, lanes) window
+            # is a direct dynamic-slice read, zero DMA
+            irr_win = irr_ref[pl.ds(bz, W_WIN), pl.ds(by, W_WIN),
+                              pl.ds(x_al0, 16), :].reshape(
+                                  W_PROBES, IRR_LANES)
+            dep_win = dep_ref[pl.ds(bz, W_WIN), pl.ds(by, W_WIN),
+                              pl.ds(x_al0, 16), :].reshape(
+                                  W_PROBES, DEP_LANES)
+        else:
+            sc_irr, sc_dep, sems = scratch
 
-        cur = t % 2
-        nxt = (t + 1) % 2
+            # Double-buffered probe-window DMA. The atlases are laid out
+            # 4-D (Pz, Py, Px_pad, lanes) so the whole 4x4x16 probe window
+            # is ONE DMA per atlas (the earlier 36 small per-row copies
+            # were DMA-issue-bound at ~27 us/tile). The x offset must be
+            # 8-aligned (sublane tiling); the remainder folds into the
+            # per-pixel window index. Px is padded by 16 so runs never
+            # overrun.
+            def window_copies(ti, slot):
+                tbw = bases_ref[ti]
+                tbx = tbw & 1023
+                tby = (tbw >> 10) & 1023
+                tbz = (tbw >> 20) & 1023
+                x_al = pl.multiple_of((tbx // 8) * 8, 8)
+                return [
+                    pltpu.make_async_copy(
+                        irr_ref.at[pl.ds(tbz, W_WIN), pl.ds(tby, W_WIN),
+                                   pl.ds(x_al, 16), :],
+                        sc_irr.at[slot],
+                        sems.at[slot, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        dep_ref.at[pl.ds(tbz, W_WIN), pl.ds(tby, W_WIN),
+                                   pl.ds(x_al, 16), :],
+                        sc_dep.at[slot],
+                        sems.at[slot, 1],
+                    ),
+                ]
 
-        @pl.when(t == 0)
-        def _warmup():
-            for c in window_copies(t, 0):
-                c.start()
+            cur = t % 2
+            nxt = (t + 1) % 2
 
-        @pl.when(t + 1 < nt)
-        def _prefetch():
-            for c in window_copies(t + 1, nxt):
-                c.start()
+            @pl.when(t == 0)
+            def _warmup():
+                for c in window_copies(t, 0):
+                    c.start()
 
-        for c in window_copies(t, cur):
-            c.wait()
+            @pl.when(t + 1 < nt)
+            def _prefetch():
+                for c in window_copies(t + 1, nxt):
+                    c.start()
 
-        irr_win = sc_irr.at[cur][...].reshape(W_PROBES, IRR_LANES)
-        dep_win = sc_dep.at[cur][...].reshape(W_PROBES, DEP_LANES)
+            for c in window_copies(t, cur):
+                c.wait()
+
+            irr_win = sc_irr.at[cur][...].reshape(W_PROBES, IRR_LANES)
+            dep_win = sc_dep.at[cur][...].reshape(W_PROBES, DEP_LANES)
 
         pts = pts_ref[:]
         px_, py_, pz_ = pts[:, 0], pts[:, 1], pts[:, 2]
@@ -363,30 +387,34 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
     jax.jit,
     static_argnames=("grid_counts", "grid_start", "grid_step",
                      "cfg_vals", "irr_side", "dep_side", "interpret",
-                     "tile"),
+                     "tile", "atlas_vmem"),
 )
 def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
                   grid_start, grid_step, cfg_vals, irr_side, dep_side,
-                  interpret, tile=TILE_PTS):
+                  interpret, tile=TILE_PTS, atlas_vmem=False):
     ntiles = pts.shape[0] // tile
     IRR_LANES = irr_flat.shape[-1]
     DEP_LANES = dep_flat.shape[-1]
     kernel = _make_kernel(grid_counts, grid_start, grid_step,
-                          cfg_vals, irr_side, dep_side, tile)
+                          cfg_vals, irr_side, dep_side, tile,
+                          atlas_vmem=atlas_vmem)
+    atlas_space = pltpu.VMEM if atlas_vmem else pltpu.ANY
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((tile, 16), lambda t, b: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # irr atlas (HBM, DMA'd)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dep atlas (HBM, DMA'd)
+            # atlases: whole-block VMEM residents (small scenes) or HBM
+            # sources for the per-tile window DMA (hero scenes)
+            pl.BlockSpec(memory_space=atlas_space),
+            pl.BlockSpec(memory_space=atlas_space),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # irr channel collector
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dep channel collector
         ],
         out_specs=pl.BlockSpec((tile, 8), lambda t, b: (t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
+        scratch_shapes=[] if atlas_vmem else [
             pltpu.VMEM((2, W_WIN, W_WIN, 16, IRR_LANES), jnp.float32),
             pltpu.VMEM((2, W_WIN, W_WIN, 16, DEP_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -399,7 +427,7 @@ def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
         # the folded (8*256, .) corner batch peaks ~24 MB of live vectors —
         # above the 16 MB default scoped-vmem limit, well under v5e's 128 MB
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bases, pts, irr_flat, dep_flat, icol, dcol)
     return out[:, :3]
@@ -532,6 +560,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
 
         irr_flat = to4d(irr_flat, irr_lanes)
         dep_flat = to4d(dep_flat, dep_lanes)
+        atlas_bytes = 4 * (irr_flat.size + dep_flat.size)
         kern_kw = dict(
             grid_counts=counts, grid_start=start, grid_step=step,
             cfg_vals=cfg_vals,
@@ -539,6 +568,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
             dep_side=min(int(cfg.depth_oct_size), DEPTH_SIDE_MAX),
             interpret=interpret,
             tile=tile,
+            atlas_vmem=atlas_bytes <= VMEM_ATLAS_BYTES,
         )
         def pack(bs):
             return bs[:, 0] | (bs[:, 1] << 10) | (bs[:, 2] << 20)

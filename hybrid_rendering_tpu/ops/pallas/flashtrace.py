@@ -984,9 +984,10 @@ def flash_closest_hit_attrs_sparse(fs, origin, direction, t_max, t_min=1e-3,
 def flash_visibility_sparse(fs, origin, direction, t_max, t_min=1e-3,
                             interpret=False, vis_bf16=None):
     """v2 any-hit visibility (1.0 = unoccluded). vis_bf16: single-pass
-    bf16 accept (default from FLASH_VIS_BF16, on) — ~3x less MXU work;
-    edge-adjacent rays may flip within EDGE_SLOP_VIS (denoisers smooth
-    the sub-texel wobble)."""
+    bf16 accept — opt-in (default OFF; env FLASH_VIS_BF16=1). Measured
+    accept-op-bound, so the ~3x MXU saving bought nothing and the precise
+    accept stays the default; when enabled, edge-adjacent rays may flip
+    within EDGE_SLOP_VIS (denoisers smooth the sub-texel wobble)."""
     return _flash_sparse_impl(fs, origin, direction, t_max, t_min,
                               interpret, with_attrs=False, any_hit=True,
                               vis_bf16=vis_bf16)

@@ -185,8 +185,11 @@ def atrous_chain(color, variance, normal, depth, mask, *, steps,
     guides = [normal[..., 0], normal[..., 1], normal[..., 2], depth]
 
     var = variance
+    # feedback_iteration out of range -> history keeps the pre-filter
+    # input, matching the XLA chains in shadows.py/reflections.py
+    # (advisor r2: the old `fb = final output` fallback made TPU and CPU
+    # temporal history diverge for short chains)
     fb = planes
-    fb_set = False
     for it, step in enumerate(steps):
         planes, var = _atrous_step(
             planes, var, guides, mask, step=step, radius=radius,
@@ -194,9 +197,6 @@ def atrous_chain(color, variance, normal, depth, mask, *, steps,
             sigma_depth=sigma_depth, masked=masked, interpret=interpret)
         if it == feedback_iteration:
             fb = planes
-            fb_set = True
-    if not fb_set:
-        fb = planes
 
     def pack(ps):
         return ps[0] if C == 1 else jnp.stack(ps, axis=-1)

@@ -94,22 +94,34 @@ PRESETS: Dict[str, ScenePreset] = {
 }
 
 
-def apply_preset(name: str, base: Optional[RendererConfig] = None):
+def apply_preset(name: str, base: Optional[RendererConfig] = None,
+                 keep: tuple = ()):
     """Returns (scene, light, camera kwargs, RendererConfig with per-scene
     DDGI tuning, preset). The reference equivalent is
-    set_active_scene + reset_light."""
+    set_active_scene + reset_light.
+
+    OWNERSHIP: the preset owns ddgi.{probe_distance, normal_bias,
+    infinite_bounce_intensity, rays_per_probe, scale} and ao.ray_length —
+    values in `base` for those fields are overwritten (they are per-scene
+    tunings, reference main.cpp:1084-1145). Callers that intentionally
+    want their own value for one of them list it in `keep`, e.g.
+    keep=("ddgi.rays_per_probe", "ao.ray_length")."""
     scene, light, camkw = load_scene(name)
     preset = PRESETS[name]
     cfg = base or RendererConfig()
+    ddgi_over = dict(
+        probe_distance=preset.ddgi_probe_distance,
+        normal_bias=preset.ddgi_normal_bias,
+        infinite_bounce_intensity=preset.ddgi_infinite_bounce_intensity,
+        rays_per_probe=preset.ddgi_rays_per_probe,
+        scale=RayTraceScale(preset.ddgi_scale),
+    )
+    ao_over = dict(ray_length=preset.ao_ray_length)
+    for k in keep:
+        section, _, field = k.partition(".")
+        {"ddgi": ddgi_over, "ao": ao_over}[section].pop(field)
     cfg = cfg.replace(
-        ddgi=dataclasses.replace(
-            cfg.ddgi,
-            probe_distance=preset.ddgi_probe_distance,
-            normal_bias=preset.ddgi_normal_bias,
-            infinite_bounce_intensity=preset.ddgi_infinite_bounce_intensity,
-            rays_per_probe=preset.ddgi_rays_per_probe,
-            scale=RayTraceScale(preset.ddgi_scale),
-        ),
-        ao=dataclasses.replace(cfg.ao, ray_length=preset.ao_ray_length),
+        ddgi=dataclasses.replace(cfg.ddgi, **ddgi_over),
+        ao=dataclasses.replace(cfg.ao, **ao_over),
     )
     return scene, light, camkw, cfg, preset

@@ -90,6 +90,7 @@ def test_fast_matches_reference_smooth_atlas():
     assert (err < 0.05).mean() > 0.97
 
 
+@pytest.mark.slow
 def test_full_frame_rmse_gi_test():
     """Full-frame fast-vs-XLA bound at gi_test probe counts with REAL
     atlases (one ddgi_update on the gi_test scene) and a real G-buffer —

@@ -122,6 +122,7 @@ class TestDDGICore:
 
 
 class TestReflections:
+    @pytest.mark.slow
     def test_mirror_floor_reflects_red_box(self):
         scene = _small_scene()
         sky = ConstantSky(color=jnp.asarray([0.1, 0.1, 0.12]))
@@ -148,6 +149,7 @@ class TestReflections:
         red_pixels = (refl[..., 0] > refl[..., 1] * 1.5) & (refl[..., 0] > 0.02)
         assert red_pixels.sum() > 5
 
+    @pytest.mark.slow
     def test_full_pipeline_with_ddgi(self):
         scene = _small_scene()
         sky = ConstantSky(color=jnp.asarray([0.2, 0.25, 0.3]))

@@ -50,6 +50,7 @@ def test_refit_moves_only_the_instance():
                                np.asarray(scene.tri_normal), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_motion_vectors_and_disocclusion():
     """Animated box produces object motion vectors (static camera) and
     disocclusion in the vacated region (the reference's side-to-side
@@ -99,6 +100,7 @@ def test_motion_vectors_and_disocclusion():
     assert valid[far].mean() > 0.9
 
 
+@pytest.mark.slow
 def test_renderer_with_animator_runs():
     """Full pipeline with an animator: refit + tracer rebuild traced into
     the frame; output stays finite over several frames."""

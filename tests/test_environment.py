@@ -104,6 +104,7 @@ def test_named_environments_load(tmp_path):
         assert np.all(np.isfinite(rad)) and rad.max() > 0
 
 
+@pytest.mark.slow
 def test_renderer_with_file_environment(tmp_path):
     """Full hybrid frame lit by a loaded .hdr environment (the reference's
     non-procedural environment modes, main.cpp:292-308)."""

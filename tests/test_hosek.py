@@ -55,6 +55,7 @@ def test_brighter_toward_sun_and_horizon_gradient():
     assert np.all(np.isfinite(below)) and np.all(below >= 0)
 
 
+@pytest.mark.slow
 def test_renderer_integration():
     """HW sky drops in as sky_radiance_fn for the full pipeline."""
     from hybrid_rendering_tpu.config import DDGIConfig, RendererConfig

@@ -80,6 +80,7 @@ class TestGBuffer:
 
 
 class TestFullFrame:
+    @pytest.mark.slow
     def test_three_frames_stable(self, setup):
         r, light, camkw = setup
         state = r.create_state()
@@ -101,6 +102,7 @@ class TestFullFrame:
         assert ao.min() >= 0.0 and ao.max() <= 1.0 + 1e-5
         assert int(state.frame_index) == 3
 
+    @pytest.mark.slow
     def test_temporal_accumulation_reduces_noise(self, setup):
         """History accumulation: shadows temporal output after several
         static frames is smoother than the raw 1-spp trace."""
@@ -122,6 +124,7 @@ class TestFullFrame:
 
         assert tv(temporal) <= tv(raw) + 1e-6
 
+    @pytest.mark.slow
     def test_shadow_correctness_vs_light(self, setup):
         """Pixels in pillar shadows must be darker in deferred than lit
         ground; verified against a no-shadows render."""

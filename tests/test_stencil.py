@@ -38,6 +38,7 @@ def _xla_chain(color, var, n, depth, mask, steps, feedback_iteration=1):
 
 
 @pytest.mark.parametrize("steps", [(1, 2), (1, 2, 4, 8)])
+@pytest.mark.slow
 def test_matches_xla_chain(steps):
     color, var, n, depth, mask = _inputs()
     ref_c, ref_fb, ref_v = _xla_chain(color, var, n, depth, mask, steps)
@@ -63,6 +64,7 @@ def test_mask_passthrough():
 
 
 @pytest.mark.parametrize("steps", [(1, 2, 4)])
+@pytest.mark.slow
 def test_matches_xla_chain_rgb(steps):
     H, W = 64, 128
     rs = np.random.RandomState(2)
