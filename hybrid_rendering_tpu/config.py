@@ -76,6 +76,13 @@ class ReflectionsConfig:
     trim: float = 0.8  # GGX sample trim (reflections_ray_trace.rgen:157-166)
     approximate_with_ddgi: bool = True  # roughness>0.75 -> sample DDGI, no ray
     sample_gi: bool = True  # rchit adds DDGI indirect
+    # probe-grid evaluation density within the (already scale-reduced)
+    # reflection buffer: 1 = per reflection pixel (reference-exact,
+    # rchit:87-111); 2 = every 2nd pixel + edge-aware upsample — at the
+    # HALF default this equals the QUARTER screen density the reference
+    # itself uses for the deferred GI buffer, and the probe-cage eval is
+    # the most expensive part of the pass (measured 75 ms of 182 @1080p)
+    gi_sample_step: int = 2
     gi_intensity: float = 0.5
     rough_ddgi_intensity: float = 0.5
     ibl_indirect_specular_intensity: float = 0.05

@@ -149,7 +149,21 @@ def ray_trace(
         # validity keeps sky pixels / ray misses out of the sampler's
         # shared tile-window bases (their outputs are masked anyway)
         gi_valid = (use_ddgi & geom) | (needs_ray & hit.valid)
-        gi_merged = gi_sample_fn(gi_p, gi_n, gi_wo, valid=gi_valid)
+        s = int(cfg.gi_sample_step)
+        if s > 1 and (s & (s - 1)) == 0 and h % s == 0 and w % s == 0:
+            # sparse probe-cage eval + joint-bilateral upsample on the
+            # PRIMARY surface guides: exact for the use_ddgi pixels (their
+            # sample point is the primary surface) and a smooth-field
+            # interpolation for hit-point GI (indirect diffuse at the hit
+            # is low-frequency and feeds the SVGF chain anyway)
+            gi_low = gi_sample_fn(
+                gi_p[::s, ::s], gi_n[::s, ::s], gi_wo[::s, ::s],
+                valid=gi_valid[::s, ::s])
+            gi_merged = filters.upsample_edge_aware(
+                gi_low, gb.normal[::s, ::s], gb.linear_z[::s, ::s],
+                gb.normal, gb.linear_z, s.bit_length() - 1)
+        else:
+            gi_merged = gi_sample_fn(gi_p, gi_n, gi_wo, valid=gi_valid)
 
     # indirect at the hit (rchit:87-111): DDGI diffuse + IBL specular
     if want_hit_gi:

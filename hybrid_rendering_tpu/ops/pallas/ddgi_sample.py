@@ -132,6 +132,8 @@ def _oct_texel_taps_cols(dx, dy, dz, side):
 # keep the double-buffered HBM window path.
 VMEM_ATLAS_BYTES = int(_os.environ.get("DDGI_VMEM_ATLAS_BYTES",
                                        str(40 * 1024 * 1024)))
+# perf experiment: nearest instead of bilinear depth taps in Chebyshev
+DEPTH_NEAREST = _os.environ.get("DDGI_DEPTH_NEAREST", "0") == "1"
 
 
 def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
@@ -332,6 +334,19 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
             taps_d = _oct_texel_taps_clamped_cols(
                 ptpx / dist, ptpy / dist, ptpz / dist, dep_side,
             )
+            if DEPTH_NEAREST:
+                # single nearest tap: picks the largest-weight corner of
+                # the bilinear quad (perf experiment knob)
+                best = None
+                for tt, ww in taps_d:
+                    cand = (tt, ww)
+                    if best is None:
+                        best = cand
+                    else:
+                        take = ww > best[1]
+                        best = (jnp.where(take, tt, best[0]),
+                                jnp.where(take, ww, best[1]))
+                taps_d = [(best[0], jnp.ones_like(best[1]))]
             lane_t3 = jax.lax.broadcasted_iota(
                 jnp.int32, (8, TILE_PTS, DEP_PLANE), 2)
             u_mask = jnp.zeros((8, TILE_PTS, DEP_PLANE), jnp.float32)
