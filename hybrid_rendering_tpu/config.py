@@ -132,6 +132,13 @@ class DDGIConfig:
     # physically 1.0; reference default 1.7 (artistic boost)
     infinite_bounce_intensity: float = 1.0
     gi_intensity: float = 1.0
+    # Clamp per-ray probe radiance to the same RADIANCE_CLAMP_COLOR (=1)
+    # the GT path tracer applies per sample
+    # (ground_truth_path_trace.rgen:93-95). Without it the probes
+    # transport unclamped energy from small bright spots (e.g. a sunlit
+    # patch at radiance 5.5) that the GT oracle clips to 1.0 — measured
+    # as a 2x irradiance excess at the gi_test ceiling. <=0 disables.
+    probe_radiance_clamp: float = 1.0
     visibility_test: bool = True
     max_distance_factor: float = 1.5  # max_distance = 1.5*probe_distance (ddgi.cpp:169)
     probe_grid_padding: int = 2  # +2 probes per axis (ddgi.cpp:150-169)

@@ -564,9 +564,30 @@ def ddgi_update(
             c_diff * bounce * cfg.infinite_bounce_intensity * gate
         )
 
+    # Backface suppression (Majercik et al. 2019 §4.2; the reference's
+    # gi_ray_trace.rgen has no equivalent and its GT is never compared
+    # numerically). Probes in the AABB padding layers sit behind walls /
+    # above ceilings; their rays strike geometric BACK faces which the
+    # two-sided shader would light as if front-lit (e.g. the sunlit top
+    # of a ceiling), and that energy leaked into every boundary cage —
+    # measured 2.03x GT irradiance at the gi_test ceiling. Zero the
+    # radiance and store a 0.2x-shortened visibility distance so the
+    # Chebyshev test crushes these probes' sample weights.
+    backface = hit.valid & jnp.logical_not(surf.frontface)
+    radiance = jnp.where(backface[:, None], 0.0, radiance)
+
     env = sky_radiance_fn(d)
     radiance = jnp.where(hit.valid[:, None], radiance, env)
-    hit_dist = jnp.where(hit.valid, hit.t, -1.0)
+    # Match the GT oracle's per-sample clamp (RADIANCE_CLAMP_COLOR = 1,
+    # ground_truth_path_trace.rgen:93-95): the GT image the fidelity gate
+    # compares against clips every path's radiance at 1.0, so bright
+    # sub-1%-area spots (sunlit patches at radiance ~5) must not pour
+    # unclamped energy into the probes. See DDGIConfig.probe_radiance_clamp.
+    if cfg.probe_radiance_clamp > 0.0:
+        radiance = jnp.minimum(radiance, cfg.probe_radiance_clamp)
+    hit_dist = jnp.where(
+        hit.valid, jnp.where(backface, hit.t * 0.2, hit.t), -1.0
+    )
     # back to (P, R, .) in original probe order for the accumulation
     radiance = _unpack(radiance)  # (P, R, 3)
     hit_dist = _unpack(hit_dist)  # (P, R)
@@ -606,7 +627,7 @@ def ddgi_update(
 
     depth_dist = jnp.where(
         hit_dist < 0.0, grid.max_distance,
-        jnp.minimum(grid.max_distance, hit_dist - 0.01),
+        jnp.clip(hit_dist - 0.01, 0.0, grid.max_distance),
     )
     depth_vals = jnp.stack([depth_dist, depth_dist * depth_dist], -1)
     dep = update_atlas(

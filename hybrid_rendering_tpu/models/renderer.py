@@ -68,6 +68,7 @@ class HybridRenderer:
         env_prefiltered_fn: Optional[Callable] = None,
         tracer_method: str = "auto",
         animator: Optional[Callable] = None,
+        mesh=None,
     ):
         """animator: optional fn(frame_index) -> (I, 4, 4) per-instance
         rigid transforms (jnp ops, traced into the frame). When set, the
@@ -81,12 +82,25 @@ class HybridRenderer:
         self.env_prefiltered_fn = env_prefiltered_fn
         self.animator = animator
         self.tracer_method = tracer_method
+        # multi-chip: shard every trace over the ray axis so each device
+        # runs the production kernel on its local rays (parallel/trace.py)
+        self.mesh = mesh
         self.closest_fn, self.visibility_fn = bvh_mod.make_tracers(
             scene, method=tracer_method
         )
         self.closest_surface_fn = bvh_mod.make_surface_tracer(
             scene, method=tracer_method
         )
+        if mesh is not None:
+            from hybrid_rendering_tpu.parallel.trace import (
+                shard_renderer_tracers,
+            )
+
+            (self.closest_fn, self.visibility_fn,
+             self.closest_surface_fn) = shard_renderer_tracers(
+                mesh, self.closest_fn, self.visibility_fn,
+                self.closest_surface_fn,
+            )
         # probe grid geometry is static per scene (recreated on scene /
         # probe-distance change, like ddgi.cpp:93-95,115-118 -> re-jit)
         lo, hi = scene.aabb()
@@ -162,6 +176,14 @@ class HybridRenderer:
                     scene, method=self.tracer_method)
                 closest_surface_fn = bvh_mod.make_surface_tracer(
                     scene, method=self.tracer_method)
+                if self.mesh is not None:
+                    from hybrid_rendering_tpu.parallel.trace import (
+                        shard_ray_fn,
+                    )
+
+                    visibility_fn = shard_ray_fn(self.mesh, visibility_fn)
+                    closest_surface_fn = shard_ray_fn(
+                        self.mesh, closest_surface_fn)
 
         # --- G-buffer (main.cpp:79) ---
         with jax.named_scope("gbuffer"):

@@ -3,10 +3,11 @@
 The reference is single-GPU (SURVEY §2.10.8: one queue, one command buffer);
 its "parallelism" is intra-device work distribution. On TPU the natural
 scale-out axis is the *frame*: pixels/rays are embarrassingly parallel, so
-we shard image rows (and ray batches) over a 1-D ``tiles`` mesh axis with
-``shard_map`` — the scene/BVH is replicated (it's read-only and small next
-to per-pixel state), stencil passes exchange halos via ``ppermute``
-(parallel/halo.py), and full-frame reductions ride ``psum`` on ICI.
+we shard image rows (and ray batches) over a 1-D ``tiles`` mesh axis —
+the scene/BVH is replicated (it's read-only and small next to per-pixel
+state), traces run per-device via shard_map (parallel/trace.py), and the
+GSPMD partitioner inserts stencil halos / gather collectives for the rest
+of the frame (parallel/sharding.py).
 """
 from __future__ import annotations
 

@@ -3,8 +3,11 @@
 Pixels/rays are embarrassingly parallel, so the frame shards along rows
 over the 1-D ``tiles`` mesh axis. Each device generates + traces rays for
 its own row block locally (its own stackless BVH while-loop — no global
-sync per traversal step); the scene/BVH and camera are replicated. Denoiser
-stencil passes later add halo exchange via ppermute (parallel/halo.py).
+sync per traversal step); the scene/BVH and camera are replicated. The
+hybrid pipeline's denoiser stencils run under GSPMD (parallel/sharding.py),
+where the SPMD partitioner inserts the halo exchange for pad+slice chains
+itself; the production FlashTrace kernel shards per-device via
+parallel/trace.py.
 """
 from __future__ import annotations
 

@@ -125,6 +125,14 @@ class SceneBuilder:
         world_nrm /= np.maximum(np.linalg.norm(world_nrm, axis=1, keepdims=True), 1e-8)
 
         idx = mesh.indices
+        # A mirroring (negative-determinant) transform reverses triangle
+        # winding, which would point the cross-product geometric normal
+        # opposite the shading normals (e.g. a ceiling plane placed with a
+        # y-flip reads as wound "outward" — its geo normal faces out of
+        # the room). Swap two indices to restore winding so frontface
+        # classification (scene/fetch.py) stays consistent scene-wide.
+        if np.linalg.det(m[:3, :3]) < 0.0:
+            idx = idx[:, ::-1]
         self._tri_pos.append(world_pos[idx])  # (F,3,3)
         self._tri_nrm.append(world_nrm[idx])
         self._tri_uv.append(mesh.uvs[idx])

@@ -39,9 +39,8 @@ def surface_from_attrs(scene: SceneArrays, origin, direction, hit: Hit,
     mat_id = jnp.round(attrs[..., 15]).astype(jnp.int32)
     mesh_id = jnp.round(attrs[..., 16]).astype(jnp.int32)
     geo_n = attrs[..., 17:20]
-    geo_n = jnp.where(
-        (jnp.sum(geo_n * direction, axis=-1) > 0.0)[..., None], -geo_n, geo_n
-    )
+    frontface = jnp.sum(geo_n * direction, axis=-1) <= 0.0
+    geo_n = jnp.where(~frontface[..., None], -geo_n, geo_n)
     normal = jnp.where(
         (jnp.sum(normal * geo_n, axis=-1) < 0.0)[..., None], -normal, normal
     )
@@ -63,6 +62,7 @@ def surface_from_attrs(scene: SceneArrays, origin, direction, hit: Hit,
         emissive=take_rows_onehot(mats.emissive, mat_id),
         mesh_id=jnp.where(valid, mesh_id, -1),
         mat_id=mat_id,
+        frontface=frontface,
     )
     # tangent travels in attr lanes 20:24 (ops/pallas/flashtrace.py ATTR)
     return apply_material_maps(scene, surf, attrs[..., 20:24], valid)
@@ -200,9 +200,8 @@ def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
     e2 = tp[..., 2, :] - tp[..., 0, :]
     geo_n = normalize(jnp.cross(e1, e2))
     # face-forward the geometric normal against the incoming ray
-    geo_n = jnp.where(
-        (jnp.sum(geo_n * direction, axis=-1) > 0.0)[..., None], -geo_n, geo_n
-    )
+    frontface = jnp.sum(geo_n * direction, axis=-1) <= 0.0
+    geo_n = jnp.where(~frontface[..., None], -geo_n, geo_n)
     # keep the shading normal in the same hemisphere as the geometric one
     normal = jnp.where(
         (jnp.sum(normal * geo_n, axis=-1) < 0.0)[..., None], -normal, normal
@@ -223,6 +222,7 @@ def fetch_surface(scene: SceneArrays, origin, direction, hit: Hit) -> Surface:
         emissive=take_rows(mats.emissive, mat_id),
         mesh_id=take_rows(scene.tri_mesh_id, tid),
         mat_id=mat_id,
+        frontface=frontface,
     )
     tangent4 = (take_rows(scene.tri_tangent, tid)
                 if scene.tri_tangent is not None else None)

@@ -204,6 +204,12 @@ class Surface:
     emissive: Array  # (..., 3)
     mesh_id: Array  # (...,) int32
     mat_id: Array  # (...,) int32
+    # True where the ray struck the geometric front face (dot(d, geo) < 0
+    # BEFORE the two-sided flip). Shading stays two-sided everywhere; the
+    # DDGI probe trace uses this to zero backface radiance and shorten the
+    # stored visibility distance (Majercik et al. 2019 §4.2) so probes
+    # embedded in / behind walls cannot leak light into the cage.
+    frontface: Array = None  # (...,) bool
 
 
 @struct.dataclass
