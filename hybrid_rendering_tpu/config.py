@@ -11,6 +11,7 @@ Defaults replicate the reference's defaults, cited per field.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass, field
 from enum import IntEnum
 
@@ -142,6 +143,14 @@ class DDGIConfig:
     visibility_test: bool = True
     max_distance_factor: float = 1.5  # max_distance = 1.5*probe_distance (ddgi.cpp:169)
     probe_grid_padding: int = 2  # +2 probes per axis (ddgi.cpp:150-169)
+    # "padded" (default, reference layout: rows on the AABB min + padding
+    # rows beyond the max) vs "interior" (rows inset inside the AABB;
+    # ~1.4x fewer probes). Measured on gi_test r3: padded 0.084 pooled
+    # RMSE vs interior 0.093 — the inset rows sit so close to walls that
+    # their Chebyshev depth crushes their contribution to points farther
+    # along the same wall, darkening boundary surfaces. See
+    # models/ddgi.py make_probe_grid.
+    grid_layout: str = "padded"
 
 
 @dataclass(frozen=True)
@@ -210,3 +219,25 @@ class RendererConfig:
 
     def replace(self, **kw) -> "RendererConfig":
         return dataclasses.replace(self, **kw)
+
+
+def reference_parity(cfg: RendererConfig) -> RendererConfig:
+    """Restore the upstream renderer's artistic GI constants for visual
+    side-by-side comparisons with the reference (ADVICE r2).
+
+    The TPU defaults are GT-calibrated physical units (PARITY.md): they
+    drop the reference's extra 0.5*pi sample scale (gi_common.glsl:316),
+    its energy haircuts (ddgi.h:88 energy_preservation=0.85, recursive
+    0.95 in gi_probe_update.glsl) and 1.7x infinite-bounce boost
+    (ddgi.h), and clamp probe radiance like the GT oracle. This preset
+    reverts all of that so `--reference-parity` renders match upstream
+    screenshots, at the cost of overshooting the bundled GT path tracer.
+    """
+    return cfg.replace(ddgi=dataclasses.replace(
+        cfg.ddgi,
+        energy_preservation=0.85,
+        recursive_energy_preservation=0.95,
+        infinite_bounce_intensity=1.7,
+        gi_intensity=cfg.ddgi.gi_intensity * 0.5 * math.pi,
+        probe_radiance_clamp=0.0,
+    ))

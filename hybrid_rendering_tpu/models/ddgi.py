@@ -57,10 +57,42 @@ class ProbeGrid(NamedTuple):
 
 
 def make_probe_grid(scene_min, scene_max, cfg: DDGIConfig) -> ProbeGrid:
-    """Grid = scene AABB / probe_distance + 2 per axis (ddgi.cpp:150-169)."""
+    """Probe-cage layout over the scene AABB.
+
+    "padded" is the reference layout (ddgi.cpp:150-169): rows start ON
+    the AABB min and 2 extra rows per axis run past the max, so closed
+    scenes carry rows of probes embedded in / beyond their walls. Those
+    probes get crushed by backface suppression + Chebyshev, and boundary
+    surfaces then EXTRAPOLATE the last interior row — measured as a
+    +20%-ish bright band at the gi_test ceiling (the cage pins the value
+    one probe-spacing below the surface where irradiance is higher by
+    the 1/d^2 falloff it can't see).
+
+    "interior" (TPU default) insets the rows just inside the AABB: every
+    boundary surface interpolates between a row a few cm away and the
+    interior, no probe is wasted outside closed geometry, and the same
+    interior density costs ~2.4x fewer probes than padding all axes.
+    """
     lo = np.asarray(scene_min, np.float32)
     hi = np.asarray(scene_max, np.float32)
     extent = hi - lo
+    if cfg.grid_layout == "interior":
+        counts = tuple(
+            max(2, int(np.ceil(extent[i] / cfg.probe_distance)) + 1)
+            for i in range(3)
+        )
+        inset = np.minimum(0.1 * cfg.probe_distance, 0.25 * extent)
+        start = lo + inset
+        step = np.maximum(
+            (extent - 2.0 * inset) / (np.asarray(counts, np.float32) - 1.0),
+            1e-3,
+        ).astype(np.float32)
+        return ProbeGrid(
+            counts=counts,
+            start=start,
+            step=step,
+            max_distance=float(cfg.max_distance_factor * step.max()),
+        )
     counts = tuple(
         int(np.ceil(extent[i] / cfg.probe_distance)) + cfg.probe_grid_padding
         for i in range(3)

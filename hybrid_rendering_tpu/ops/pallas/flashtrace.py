@@ -541,6 +541,13 @@ EDGE_SLOP_VIS = 8e-3
 # measured: the visibility pass is accept-op-bound, not matmul-bound, so
 # the single-pass bf16 variant bought nothing — default stays precise
 VIS_BF16 = _os.environ.get("FLASH_VIS_BF16", "0") == "1"
+# run the visibility ACCEPT (not the matmul) in bf16: halves the vector
+# registers the accept-op-bound epilogue touches; EDGE_SLOP_VIS absorbs
+# the rounding (binary accept, denoisers smooth edge wobble)
+VIS_ACCEPT_BF16 = _os.environ.get("FLASH_VIS_ACCEPT_BF16", "0") == "1"
+# closest-hit: order tile candidates with the fast ~12-bit reciprocal and
+# refine only the winner with an exact divide (see _sparse_closest_kernel)
+APPROX_DIV = _os.environ.get("FLASH_APPROX_DIV", "1") == "1"
 DET_EPS = 1e-12
 
 
@@ -636,7 +643,7 @@ def _numerator_accept(det, tn, un, vn, t_min, best_or_tmax,
 
 def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
                            *rest, t_min, tt, kk, cps, with_attrs,
-                           attrs_bf16=False):
+                           attrs_bf16=False, approx_div=False):
     C = cps
     m48s = rest[0:C]
     if with_attrs:
@@ -672,7 +679,16 @@ def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
         best_t = best_ref[:, 0:1]
         valid, st, adet, su, sv = _numerator_accept(
             det, tn, un, vn, t_min, best_t)
-        t = jnp.where(valid, st / jnp.maximum(adet, 1e-30), BIG_T)
+        safe_adet = jnp.maximum(adet, 1e-30)
+        if approx_div:
+            # candidate t only ORDERS the tile (winner refined exactly in
+            # _update via pick(st)/pick(adet)); the ~12-bit approximate
+            # reciprocal skips the Newton refinement XLA's divide pays on
+            # every (ray, tri) candidate — the epilogue is VPU-bound
+            t = jnp.where(valid, st * pl.reciprocal(safe_adet, approx=True),
+                          BIG_T)
+        else:
+            t = jnp.where(valid, st / safe_adet, BIG_T)
         tile_min = jnp.min(t, axis=1, keepdims=True)
         improved = tile_min < best_t
 
@@ -688,6 +704,9 @@ def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
                                keepdims=True)
 
             inv = 1.0 / jnp.maximum(pick(adet), 1e-30)
+            # approx-ordered tiles refine the winner's t exactly here:
+            # one true division per packet instead of one per candidate
+            win_t = pick(st) * inv if approx_div else tile_min
             # winner lane -> global tri id: cluster j = first // tt,
             # id = ids[base+j]*tt + (first - j*tt), computed with C
             # scalar-broadcast selects on the (RT,1) winner vector
@@ -696,7 +715,7 @@ def _sparse_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
                 c_j = ids_ref[base + j]
                 in_j = (first >= j * tt) & (first < (j + 1) * tt)
                 gid = jnp.where(in_j, first + (c_j - j) * tt, gid)
-            best_ref[:, 0:1] = jnp.where(improved, tile_min, best_t)
+            best_ref[:, 0:1] = jnp.where(improved, win_t, best_t)
             best_ref[:, 1:2] = jnp.where(
                 improved, pick(su) * inv, best_ref[:, 1:2])
             best_ref[:, 2:3] = jnp.where(
@@ -774,8 +793,15 @@ def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
         else:
             f_hi, f_lo = _split_bf16(feats)
             det, tn, un, vn = _grouped_mt(f_hi, f_lo, m48s, tt)
-            valid, _, _, _, _ = _numerator_accept(
-                det, tn, un, vn, t_min, tmax_ref[:])
+            if VIS_ACCEPT_BF16:
+                valid, _, _, _, _ = _numerator_accept(
+                    det.astype(jnp.bfloat16), tn.astype(jnp.bfloat16),
+                    un.astype(jnp.bfloat16), vn.astype(jnp.bfloat16),
+                    t_min, tmax_ref[:].astype(jnp.bfloat16),
+                    slop=EDGE_SLOP_VIS)
+            else:
+                valid, _, _, _, _ = _numerator_accept(
+                    det, tn, un, vn, t_min, tmax_ref[:])
         blocked = jnp.max(valid.astype(jnp.int32), axis=1, keepdims=True)
         vis_ref[:] = vis_ref[:] * (1 - blocked)
 
@@ -872,7 +898,8 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
 
     kernel = functools.partial(_sparse_closest_kernel, t_min=t_min,
                                tt=tt, kk=K, cps=C, with_attrs=with_attrs,
-                               attrs_bf16=bool(fs.attrs_bf16_safe))
+                               attrs_bf16=bool(fs.attrs_bf16_safe),
+                               approx_div=APPROX_DIV and not interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -27,6 +27,7 @@ class ScenePreset:
     ddgi_rays_per_probe: int = 128
     ddgi_scale: int = 2  # sample-pass RayTraceScale (2 = quarter)
     ao_ray_length: float = 7.0  # ray_traced_ao.h:53, scene-scaled
+    ao_power: float = 1.2  # ao_upsample.comp:108, scene-tunable
     demo_keyframes: tuple = ()
 
 
@@ -58,18 +59,16 @@ PRESETS: Dict[str, ScenePreset] = {
     "gi_test": ScenePreset(
         # reference GI test: bias 1.0 @ distance 4.0, bounce 0.8
         # (main.cpp:1112-1116); bias scaled to our probe distance
-        # NOTE: the residual +gi error vs GT is a bright ceiling band —
-        # the inherent DDGI boundary bias (cages at walls renormalize
-        # toward interior probes that sit closer to the lit floor).
-        # Densifying probes to 1.0 only moved pooled RMSE 0.138->0.133,
-        # so the reference-ratio grid stays.
         ddgi_probe_distance=1.5, ddgi_normal_bias=0.375,
         ddgi_infinite_bounce_intensity=1.0,  # physical (reference: 0.8)
         # fidelity-gated scene keeps reference-grade GI settings
         ddgi_rays_per_probe=256, ddgi_scale=1,
-        # AO length scaled to the 10-unit box (reference: 7.0 in a
-        # ~2x larger GI-test mesh; unscaled it darkens 2x too much)
-        ao_ray_length=2.0,
+        # GT-calibrated contact term: the DDGI cage already carries the
+        # probe-scale occlusion, so AO is kept short + soft here — the
+        # r3 sweep measured pooled RMSE 0.084 at (0.6, 0.3) vs 0.113 at
+        # the old (2.0, 1.2) and 0.0840 with AO off entirely
+        ao_ray_length=0.6,
+        ao_power=0.3,
         demo_keyframes=(
             Keyframe((0.0, 5.0, 16.0), (0.0, 4.0, 0.0), 0.0),
             Keyframe((4.0, 6.0, 14.0), (0.0, 4.0, 0.0), 4.0),
@@ -101,7 +100,8 @@ def apply_preset(name: str, base: Optional[RendererConfig] = None,
     set_active_scene + reset_light.
 
     OWNERSHIP: the preset owns ddgi.{probe_distance, normal_bias,
-    infinite_bounce_intensity, rays_per_probe, scale} and ao.ray_length —
+    infinite_bounce_intensity, rays_per_probe, scale} and
+    ao.{ray_length, power} —
     values in `base` for those fields are overwritten (they are per-scene
     tunings, reference main.cpp:1084-1145). Callers that intentionally
     want their own value for one of them list it in `keep`, e.g.
@@ -116,7 +116,7 @@ def apply_preset(name: str, base: Optional[RendererConfig] = None,
         rays_per_probe=preset.ddgi_rays_per_probe,
         scale=RayTraceScale(preset.ddgi_scale),
     )
-    ao_over = dict(ray_length=preset.ao_ray_length)
+    ao_over = dict(ray_length=preset.ao_ray_length, power=preset.ao_power)
     for k in keep:
         section, _, field = k.partition(".")
         {"ddgi": ddgi_over, "ao": ao_over}[section].pop(field)

@@ -66,6 +66,10 @@ def parse_args():
                    help="dump every frame here (with --animate)")
     p.add_argument("--checkpoint", default=None,
                    help="save/resume render state at this path")
+    p.add_argument("--reference-parity", action="store_true",
+                   help="upstream artistic GI constants (0.5*pi sample "
+                        "scale, 0.85/0.95 energy haircuts, 1.7x bounce) "
+                        "for side-by-sides with the reference renderer")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
@@ -114,6 +118,10 @@ def main():
         taa=dataclasses.replace(cfg.taa, enabled=not args.no_taa),
         tonemap=ToneMapConfig(exposure=args.exposure),
     )
+    if args.reference_parity:
+        from hybrid_rendering_tpu.config import reference_parity
+
+        cfg = reference_parity(cfg)
 
     if args.env:
         from hybrid_rendering_tpu.ops.sh import make_image_env_fallbacks

@@ -48,8 +48,10 @@ PAGE = """<!doctype html>
 </div>
 <div class=row id=toggles>
  %TOGGLES%
+ <button onclick="post({profile:1})">profile passes</button>
 </div>
 <div class=row id=stats></div>
+<div class=row id=prof style="white-space:pre"></div>
 <script>
 function post(o){fetch('/input',{method:'POST',body:JSON.stringify(o)})}
 const keys = {};
@@ -60,8 +62,10 @@ setInterval(()=>{
   if (k.length) post({keys:k});
 }, 50);
 setInterval(async ()=>{
-  const r = await fetch('/stats'); document.getElementById('stats').innerText
-    = await r.text();
+  const r = await fetch('/stats');
+  const [s, ...p] = (await r.text()).split('\n');
+  document.getElementById('stats').innerText = s;
+  document.getElementById('prof').innerText = p.join('\n');
 }, 1000);
 </script>
 </body></html>
@@ -75,6 +79,7 @@ class Shared:
         self.frame_id = 0
         self.inputs = []
         self.stats = ""
+        self.profile = ""
 
 
 def main():
@@ -151,7 +156,8 @@ def main():
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain")
                 self.end_headers()
-                self.wfile.write(shared.stats.encode())
+                self.wfile.write(
+                    (shared.stats + "\n" + shared.profile).encode())
             else:
                 self.send_response(404)
                 self.end_headers()
@@ -180,15 +186,58 @@ def main():
     exposure = 1.0
     light_az, light_el = None, None
 
-    def build():
+    build_cache = {}
+
+    def build(en=None):
+        en = enabled if en is None else en
+        key = (tuple(sorted(en.items())), exposure)
+        if key in build_cache:
+            return build_cache[key]
         c = cfg
         for t in toggles:
             sub = getattr(c, t)
             c = c.replace(**{t: dataclasses.replace(sub,
-                                                    enabled=enabled[t])})
+                                                    enabled=en[t])})
         c = c.replace(tonemap=ToneMapConfig(exposure=exposure))
         r = HybridRenderer(scene, c, sky.radiance, irr_fn, pref_fn)
-        return r, jax.jit(r.render_frame, donate_argnums=(0,))
+        built = (r, jax.jit(r.render_frame, donate_argnums=(0,)))
+        build_cache[key] = built
+        return built
+
+    def profile_passes(cam, lt):
+        """Per-pass frame-time deltas via cumulative variants — the
+        reference's nested profiler panel (main.cpp:681-682), adapted to
+        one-jit frames where only whole-variant timing is observable.
+        Compiled steps are cached, so re-profiling is fast."""
+        stages = [
+            ("gbuffer+deferred", dict(shadows=False, ao=False,
+                                      reflections=False, ddgi=False,
+                                      taa=False)),
+            ("+shadows", dict(shadows=True, ao=False, reflections=False,
+                              ddgi=False, taa=False)),
+            ("+ao", dict(shadows=True, ao=True, reflections=False,
+                         ddgi=False, taa=False)),
+            ("+ddgi", dict(shadows=True, ao=True, reflections=False,
+                           ddgi=True, taa=False)),
+            ("+reflections+taa", dict(shadows=True, ao=True,
+                                      reflections=True, ddgi=True,
+                                      taa=True)),
+        ]
+        lines, prev = [], None
+        for name, en in stages:
+            rv, stepv = build(en)
+            sv = rv.create_state()
+            out, sv = stepv(sv, cam, lt)  # compile + warm
+            out["ldr"].block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(4):
+                out, sv = stepv(sv, cam, lt)
+            out["ldr"].block_until_ready()
+            ms = (time.perf_counter() - t0) / 4 * 1e3
+            delta = ms if prev is None else ms - prev
+            prev = ms
+            lines.append(f"{name:18s} {delta:+8.2f} ms   (cum {ms:7.2f})")
+        return "\n".join(lines)
 
     r, step = build()
     state = r.create_state()
@@ -214,6 +263,12 @@ def main():
             if "toggle" in msg:
                 enabled[msg["toggle"]] = bool(msg["on"])
                 rebuild = True
+            if "profile" in msg:
+                cam_p = r.make_camera(tuple(eye), tuple(target),
+                                      int(state.frame_index), prev_vp)
+                with shared.lock:
+                    shared.profile = "profiling passes..."
+                shared.profile = profile_passes(cam_p, light)
             for k in msg.get("keys", []):
                 fwd = target - eye
                 fwd /= np.linalg.norm(fwd)
