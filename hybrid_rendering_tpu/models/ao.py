@@ -51,13 +51,30 @@ def ray_trace(
     """1 cosine-lobe occlusion ray/pixel, finite length
     (ao_ray_trace.comp:90-126)."""
     h, w = gb.depth.shape
-    u, v = bluenoise.sample2d_grid(h, w, frame_index, dim=1)
+    g = max(1, int(cfg.sample_granularity))
+    if g > 1:
+        # one cosine-lobe sample per g x g block: on flat surfaces every
+        # ray in a 256-pixel trace packet shares a direction, so the
+        # sparse tracer's per-packet cluster lists stay short (the
+        # per-pixel variant is the most incoherent trace in the frame).
+        # The shared sample varies per frame; temporal accumulation +
+        # the bilateral blur absorb the intra-block correlation.
+        hu = -(-h // g)
+        wu = -(-w // g)
+        uu, vv = bluenoise.sample2d_grid(hu, wu, frame_index, dim=1)
+        u = jnp.repeat(jnp.repeat(uu, g, 0), g, 1)[:h, :w]
+        v = jnp.repeat(jnp.repeat(vv, g, 0), g, 1)[:h, :w]
+    else:
+        u, v = bluenoise.sample2d_grid(h, w, frame_index, dim=1)
     r2 = jnp.stack([u, v], axis=-1)
 
     wi = brdf_ops.sample_cosine_lobe(gb.normal, r2)
     origin = gb.position + gb.normal * cfg.bias
-    vis = visibility_fn(origin, wi, jnp.full((h, w), cfg.ray_length))
-    return jnp.where(gb.mesh_id >= 0, vis, 1.0)
+    # sky pixels: t_max = 0 so fully-sky packets trace nothing (the
+    # sparse prepass culls on per-packet max t)
+    geom = gb.mesh_id >= 0
+    vis = visibility_fn(origin, wi, jnp.where(geom, cfg.ray_length, 0.0))
+    return jnp.where(geom, vis, 1.0)
 
 
 def temporal_accumulation(

@@ -79,7 +79,12 @@ def trace_wavefront(
     alive = jnp.ones((R,), bool)
 
     for depth in range(cfg.max_ray_bounces):
-        hit, surf = closest_surface_fn(origin, direction, INF_T)
+        # dead rays get t_max = 0: packets that fully died (RR, misses)
+        # produce empty cluster lists in the sparse prepass and trace
+        # nothing at later depths
+        hit, surf = closest_surface_fn(
+            origin, direction,
+            INF_T if depth == 0 else jnp.where(alive, INF_T, 0.0))
         miss = ~hit.valid
 
         # environment on miss (rmiss: depth 0 -> raw env, else T * env)
@@ -98,9 +103,14 @@ def trace_wavefront(
 
         rng, rs = rng_ops.next_vec2(rng)
         rng, rsky = rng_ops.next_vec2(rng)
+        alive_now = alive
+
+        def vis_alive(o_, d_, tm_, _alive=alive_now):
+            return visibility_fn(o_, d_, jnp.where(_alive, tm_, 0.0))
+
         lo = lighting.direct_lighting(
             light, wo, n, p, f0, c_diffuse, surf.roughness,
-            visibility_fn=visibility_fn,
+            visibility_fn=vis_alive,
             throughput=T,
             rng_shadow=rs,
             rng_sky=rsky if cfg.sample_sky else None,

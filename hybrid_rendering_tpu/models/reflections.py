@@ -110,7 +110,12 @@ def ray_trace(
     needs_ray = geom & ~use_ddgi
 
     origin = p + n * cfg.bias
-    hit, surf = closest_surface_fn(origin, ray_dir, 1e4)
+    # pixels whose reflection is DDGI-approximated (or sky) never use the
+    # trace result: give them t_max = 0 so fully-masked packets produce
+    # empty cluster lists and skip all kernel work (rough scenes trace
+    # only their mirror/GGX pixels)
+    hit, surf = closest_surface_fn(
+        origin, ray_dir, jnp.where(needs_ray, 1e4, 0.0))
     hit_valid = hit.valid & needs_ray
 
     # --- shade hits (rchit) ---
@@ -126,9 +131,15 @@ def ray_trace(
     s_wo = -ray_dir
 
     rng, rs = rng_ops.next_vec2(rng)
+
+    def vis_at_hits(o_, d_, tm_):
+        # hit-point shadow rays only matter where the reflection ray hit
+        # real geometry; masked packets skip the visibility kernel
+        return visibility_fn(o_, d_, jnp.where(hit_valid, tm_, 0.0))
+
     hit_color = direct_lighting(
         light, s_wo, sn, sp, f0, c_diff, s_rough,
-        visibility_fn=visibility_fn,
+        visibility_fn=vis_at_hits,
         rng_shadow=rs.reshape(h, w, 2),
     ) + s_emis
 

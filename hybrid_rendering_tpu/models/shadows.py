@@ -76,7 +76,12 @@ def ray_trace(
         soft_shadows=cfg.soft_shadows,
     )
     origin = p + n * cfg.bias
-    vis = visibility_fn(origin, wi, t_max)
+    # t_max = 0 for pixels whose result is masked anyway (sky, zero
+    # attenuation outside a spot cone): packets that are fully masked
+    # produce empty cluster lists in the sparse-tracer prepass and skip
+    # ALL kernel work (packet_cluster_lists culls on per-packet max t)
+    live = (gb.mesh_id >= 0) & (att > 0.0)
+    vis = visibility_fn(origin, wi, jnp.where(live, t_max, 0.0))
     vis = jnp.where(att > 0.0, vis, 0.0)
     return jnp.where(gb.mesh_id >= 0, vis, 0.0)
 
