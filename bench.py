@@ -171,11 +171,24 @@ def main():
     try:
         if not _budget_left(90.0):
             raise TimeoutError(f"budget ({_elapsed():.0f}s elapsed)")
+        from hybrid_rendering_tpu.utils import image as img_utils
         from hybrid_rendering_tpu.utils.oracle import fidelity_report
 
         rg, lg, cg = _build("gi_test", 256, 256, taa=False, debug=True)
         cam = rg.make_camera(cg["eye"], cg["target"], 0)
-        rep = fidelity_report(rg, cam, lg, hybrid_frames=32, gt_spp=96)
+        # the committed 96-spp oracle render makes this section cheap
+        # (the GT render is ~5x the hybrid's cost); delete the file or
+        # set BENCH_GT_REFRESH=1 to re-render + re-save it
+        gt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "data", "golden", "gt_gi_test_256_96.png")
+        gt_cached = None
+        if os.path.exists(gt_path) and not os.environ.get("BENCH_GT_REFRESH"):
+            gt_cached = img_utils.read_png(gt_path)
+        rep = fidelity_report(rg, cam, lg, hybrid_frames=32, gt_spp=96,
+                              gt_ldr=gt_cached)
+        if gt_cached is None:
+            os.makedirs(os.path.dirname(gt_path), exist_ok=True)
+            img_utils.write_png(gt_path, rep["gt_ldr"])
         detail["fidelity"] = {
             "pooled_relative_rmse": round(rep["pooled_relative_rmse"], 4),
             "relative_rmse": round(rep["relative_rmse"], 4),

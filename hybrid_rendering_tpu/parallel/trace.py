@@ -37,28 +37,48 @@ def shard_ray_fn(mesh: Mesh, fn, axis: str = TILE_AXIS):
 
     def wrapped(origin, direction, t_max):
         shape = origin.shape[:-1]
+        # non-scalar t_max (masked-t gating) shards with the rays; a
+        # scalar stays closed over (replicated)
+        tm = jnp.asarray(t_max)
+        tm_arr = tm.ndim > 0
+        if tm_arr:
+            tm = jnp.broadcast_to(tm, shape)
         image = len(shape) == 2 and shape[0] % n == 0
         if image:
             o, d = origin, direction
-            pad = 0
         else:
             o = origin.reshape(-1, 3)
             d = direction.reshape(-1, 3)
+            if tm_arr:
+                tm = tm.reshape(-1)
             pad = (-o.shape[0]) % n
             if pad:
                 # edge-replicate the final ray: traced redundantly on the
                 # last device, sliced away below (never NaN-producing)
                 o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))])
                 d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))])
+                if tm_arr:
+                    tm = jnp.concatenate(
+                        [tm, jnp.broadcast_to(tm[-1:], (pad,))])
 
-        body = shard_map(
-            lambda o_, d_: fn(o_, d_, t_max),
-            mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=P(axis),
-            check_rep=False,
-        )
-        out = body(o, d)
+        if tm_arr:
+            body = shard_map(
+                lambda o_, d_, t_: fn(o_, d_, t_),
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis)),
+                out_specs=P(axis),
+                check_rep=False,
+            )
+            out = body(o, d, tm)
+        else:
+            body = shard_map(
+                lambda o_, d_: fn(o_, d_, t_max),
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(axis),
+                check_rep=False,
+            )
+            out = body(o, d)
         if image:
             return out
         N = origin.reshape(-1, 3).shape[0]

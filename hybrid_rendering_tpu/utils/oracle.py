@@ -53,12 +53,14 @@ def fidelity_report(
     renderer: HybridRenderer, camera, light: Light,
     hybrid_frames: int = 16, gt_spp: int = 64,
     tonemap_cfg: Optional[ToneMapConfig] = None,
+    gt_ldr: Optional[np.ndarray] = None,
 ):
     """Returns dict with rmse / relative rmse between tonemapped hybrid
-    and GT frames."""
+    and GT frames. Pass gt_ldr (H,W,3 float in [0,1]) to reuse a
+    previously rendered oracle image (bench.py keeps one on disk: the GT
+    render is the expensive half of the report)."""
     tm = tonemap_cfg or renderer.config.tonemap
     outputs = render_hybrid_converged(renderer, camera, light, hybrid_frames)
-    gt = render_ground_truth(renderer, camera, light, gt_spp)
     # compare in display space; GT is radiance-clamped at 1.0
     # (ground_truth_path_trace.rgen:94) so clamp the hybrid the same way
     import jax.numpy as jnp
@@ -66,7 +68,11 @@ def fidelity_report(
     hybrid_ldr = np.asarray(
         tonemap_mod.tonemap(jnp.minimum(outputs["deferred"], 1.0), tm)
     )
-    gt_ldr = np.asarray(tonemap_mod.tonemap(gt, tm))
+    if gt_ldr is None:
+        gt = render_ground_truth(renderer, camera, light, gt_spp)
+        gt_ldr = np.asarray(tonemap_mod.tonemap(gt, tm))
+    else:
+        gt_ldr = np.asarray(gt_ldr, np.float32)
 
     def pool4(img):
         h, w = img.shape[:2]

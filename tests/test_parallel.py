@@ -82,6 +82,52 @@ def test_sharded_flash_image_rays_row_local(scene):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_full_hybrid_frame_sharded_flash(scene):
+    """The ENTIRE hybrid frame under GSPMD row sharding with the
+    production FlashTrace kernel shard_map'd per device (the multi-chip
+    production path, VERDICT r2 #5). ~4 min CPU compile."""
+    import jax
+
+    from hybrid_rendering_tpu.config import (
+        AOConfig, DDGIConfig, ReflectionsConfig, RendererConfig,
+        ShadowsConfig, TAAConfig, RayTraceScale,
+    )
+    from hybrid_rendering_tpu.models.renderer import HybridRenderer
+    from hybrid_rendering_tpu.ops.sky import ProceduralSky
+    from hybrid_rendering_tpu.parallel.sharding import (
+        frame_shardings, shard_frame_state,
+    )
+    from hybrid_rendering_tpu.types import Light
+
+    n, width, height = 8, 64, 64
+    mesh = make_mesh(n)
+    light = Light.directional(direction=(0.3, 0.9, 0.2), intensity=5.0,
+                              radius=0.05)
+    sky = ProceduralSky.create(sun_direction=(0.3, 0.9, 0.2))
+    cfg = RendererConfig(
+        width=width, height=height,
+        shadows=ShadowsConfig(atrous_iterations=2),
+        ao=AOConfig(scale=RayTraceScale.HALF),
+        reflections=ReflectionsConfig(scale=RayTraceScale.HALF),
+        ddgi=DDGIConfig(probe_distance=4.0, rays_per_probe=32,
+                        scale=RayTraceScale.HALF),
+        taa=TAAConfig(enabled=True),
+    )
+    r = HybridRenderer(scene, cfg, sky.radiance, tracer_method="flash",
+                       mesh=mesh)
+    state = shard_frame_state(r.create_state(), mesh, height)
+    cam = r.make_camera((4.0, 3.0, 6.0), (0.0, 0.5, 0.0), 0)
+    out_tree = jax.eval_shape(r.render_frame, state, cam, light)
+    step = jax.jit(r.render_frame, donate_argnums=(0,),
+                   out_shardings=frame_shardings(out_tree, mesh, height))
+    outputs, state = step(state, cam, light)
+    ldr = np.asarray(outputs["ldr"])
+    assert ldr.shape == (height, width, 3)
+    assert np.isfinite(ldr).all()
+    assert 0.05 < ldr.mean() < 0.99
+
+
 def test_sharded_flash_surface_tracer(scene):
     surface = bvh_mod.make_surface_tracer(scene, method="flash")
     mesh = make_mesh(8)
