@@ -264,7 +264,13 @@ def make_tracers(scene: SceneArrays, use_bvh: bool = True, method: str = "auto")
     visibility_fn(origin, dir, t_max) -> (R,) float 1.0 visible / 0.0 blocked
     — the TPU equivalents of query_distance / query_visibility
     (src/shaders/ray_query.glsl).
-    Shapes: origin/dir may be (..., 3); flattened internally.
+    Shapes: origin/dir may be (..., 3); flattened internally. t_max may
+    be a scalar or a per-ray array; rays with t_max <= 0 are masked-off
+    work (closest-hit reports no hit everywhere; the VISIBILITY value of
+    a masked ray is undefined — flash says blocked, bvh/brute say
+    visible — callers gate such rays out anyway, that's the point of
+    passing 0: fully-masked 256-ray packets skip the sparse kernel
+    entirely via the prepass t cull).
 
     method:
       "flash" — sparse cluster-culled MXU tracer (flashtrace v2);

@@ -211,3 +211,33 @@ def test_coherent_probe_packets_match_naive_layout(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(states[True].depth),
         np.asarray(states[False].depth), rtol=2e-4, atol=2e-3)
+
+
+def test_probe_radiance_clamp_matches_gt_oracle():
+    """Per-ray probe radiance clips at probe_radiance_clamp (the GT
+    oracle's RADIANCE_CLAMP_COLOR, ground_truth_path_trace.rgen:93-95):
+    a sky of radiance 3.0 converges to 1.0 with the default clamp and to
+    3.0 with the clamp disabled."""
+    import dataclasses
+
+    b = SceneBuilder()
+    m = b.add_material(MaterialDef())
+    b.add_instance(prim.plane(0.01, 0.01), m, translation(500, -500, 500))
+    scene = b.build(use_bvh=True)
+    closest = bvh_mod.make_surface_tracer(scene)
+    vis = bvh_mod.make_tracers(scene)[1]
+    sky = ConstantSky(color=jnp.asarray([3.0, 3.0, 3.0]))
+    light = Light.directional(direction=(0, 1, 0), intensity=0.0)
+    for clamp, expect in ((1.0, 1.0), (0.0, 3.0)):
+        cfg = DDGIConfig(
+            probe_distance=2.0, rays_per_probe=64, infinite_bounces=False,
+            visibility_test=False, probe_radiance_clamp=clamp,
+        )
+        grid = ddgi_mod.make_probe_grid([0, 0, 0], [2, 2, 2], cfg)
+        state = ddgi_mod.DDGIState.create(grid.num_probes, cfg)
+        for i in range(3):
+            state = ddgi_mod.ddgi_update(
+                scene, closest, vis, grid, state, light, sky.radiance, i, cfg
+            )
+        irr = np.asarray(state.irradiance)
+        assert abs(irr.mean() - expect) < 0.1 * max(expect, 1.0), (clamp, irr.mean())
