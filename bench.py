@@ -129,7 +129,10 @@ def main():
     except Exception:
         pass
 
-    W, H = 1920, 1080
+    # BENCH_RES=WxH shrinks the run for smoke-testing the bench itself
+    # (e.g. BENCH_RES=128x128 JAX_PLATFORMS=cpu python bench.py)
+    res = os.environ.get("BENCH_RES", "1920x1080")
+    W, H = (int(v) for v in res.split("x"))
     detail = {"resolution": f"{W}x{H}", "target_ms": 33.0,
               "device": str(jax.devices()[0]), "budget_s": BUDGET_S}
 

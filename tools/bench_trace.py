@@ -86,6 +86,35 @@ def main():
         ms = timeit(jax.jit(fn), so, ldir, stm)
         print(f"{name}: {ms:.1f} ms  ({H*W/ms/1e3:.1f} Mrays/s)", flush=True)
 
+    # AO-style rays: cosine hemisphere at primary hits (the most
+    # incoherent screen trace; informs AOConfig.sample_granularity)
+    from hybrid_rendering_tpu.ops import brdf as brdf_ops
+    from hybrid_rendering_tpu.ops import bluenoise
+
+    n_img = jnp.where(
+        (hit.tri_id >= 0)[:, None], attrs[:, 0:3], jnp.zeros((1, 3)))
+    nn = n_img / jnp.maximum(
+        jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-6)
+    for gran, label in ((1, "per-pixel"), (8, "8x8-block")):
+        hh, ww = H // gran, W // gran
+        u, v = bluenoise.sample2d_grid(hh, ww, 0, dim=1)
+        u = jnp.repeat(jnp.repeat(u, gran, 0), gran, 1).reshape(-1)
+        v = jnp.repeat(jnp.repeat(v, gran, 0), gran, 1).reshape(-1)
+        u = bvh_mod._block_linearize(u.reshape(H, W), H, W, b)
+        v = bvh_mod._block_linearize(v.reshape(H, W), H, W, b)
+        wi = brdf_ops.sample_cosine_lobe(nn, jnp.stack([u, v], -1))
+        ao_o = hitp + nn * 0.3
+        ao_tm = jnp.where(hit.tri_id >= 0, 7.0, 0.0)
+        ids, counts, raw = jax.jit(
+            lambda oo, dd, t: ft.packet_cluster_lists(fs, oo, dd, t))(
+                ao_o, wi, ao_tm)
+        c = np.asarray(raw)
+        ms = timeit(jax.jit(lambda oo, dd, t: ft.flash_visibility_sparse(
+            fs, oo, dd, t)), ao_o, wi, ao_tm)
+        print(f"AO vis ({label}): {ms:.1f} ms ({H*W/ms/1e3:.1f} Mrays/s) "
+              f"clusters/packet mean={c.mean():.2f} max={c.max()}",
+              flush=True)
+
     # correctness spot-check v1 vs v2 on device
     h1 = jax.jit(lambda oo, dd, t: ft.flash_closest_hit(fs, oo, dd, t))(
         o, d, tm)
