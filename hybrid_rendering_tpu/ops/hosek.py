@@ -1,4 +1,4 @@
-"""Hosek-Wilkie sky model (functional form, runtime-fitted parameters).
+"""Hosek-Wilkie sky model (functional form + ArHosek dataset machinery).
 
 The reference renders its procedural sky with the dw framework's
 HosekWilkieSkyModel extra (src/common.cpp:541-546, re-rendered per frame
@@ -12,15 +12,31 @@ Hosek-Wilkie 2012 analytic radiance
 
 with per-channel parameters read from the published ArHosekSkyModel
 dataset (~3 MB of turbidity x albedo x solar-elevation Bezier control
-points). That dataset is not reproducible from first principles and is
-unavailable in this offline build, so this module implements the EXACT
-functional form with parameters obtained by an alternating least-squares
-fit to the Preetham daylight field at construction time (per sun
-direction + turbidity). The fit preserves the HW form's extra degrees of
-freedom (the chi anisotropy around the sun and the sqrt-zenith term, both
-absent from Perez/Preetham). Swapping in the published tables (a
-`params_rgb` array of 9 values per channel) recovers the exact reference
-model; everything downstream only consumes `radiance(dirs)`.
+points, fit by the authors to brute-force radiative-transfer runs).
+
+Two parameter sources exist here:
+
+1. `HosekWilkieSky.from_dataset(...)` — the EXACT reference path. It
+   implements ArHosekSkyModel's cook-configuration (quintic Bernstein
+   interpolation over 6 solar-elevation control points at x =
+   (elevation / (pi/2))^(1/3), bilinear blend over the integer-turbidity
+   and albedo-{0,1} grid), folds the scalar radiance configuration into
+   the linear lobe coefficients, and evaluates the same closed form as
+   ArHosekSkyModel_GetRadianceInternal. Feed it the published
+   `ArHosekSkyModelData_RGB.h` (parsed by `load_arhosek_header`) or the
+   equivalent (3, 2, 10, 6, 9)+(3, 2, 10, 6) arrays; the result matches
+   the reference's sky bit-for-bit up to float32. The dataset itself is
+   ~3 MB of fitted constants that this offline build cannot fetch and
+   must not invent, so it ships as a loader, not as embedded data.
+
+2. `HosekWilkieSky.create(...)` — the self-contained fallback/default:
+   the EXACT functional form with parameters obtained by an alternating
+   least-squares fit to the Preetham daylight field at construction time
+   (per sun direction + turbidity). The fit preserves the HW form's
+   extra degrees of freedom (the chi anisotropy around the sun and the
+   sqrt-zenith term, both absent from Perez/Preetham).
+
+Everything downstream only consumes `radiance(dirs)`.
 """
 from __future__ import annotations
 
@@ -50,6 +66,117 @@ def hw_radiance_channel(cos_theta, cos_gamma, gamma, params):
         + I * jnp.sqrt(jnp.maximum(cos_theta, 0.0))
     )
     return jnp.maximum(up * lobe, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# ArHosek dataset machinery — the exact reference parameter path.
+#
+# Mirrors ArHosekSkyModel.c (Hosek & Wilkie 2012 reference implementation,
+# the code the dw HosekWilkieSkyModel extra wraps): CookConfiguration /
+# CookRadianceConfiguration quintic-Bezier + bilinear parameter lookup.
+# Dataset shapes (per channel): (2 albedos, 10 turbidities, 6 solar-elevation
+# control points, 9 coefficients) and (2, 10, 6) for the radiance scale.
+# ---------------------------------------------------------------------------
+
+def quintic_bezier(ctrl: np.ndarray, x: float) -> np.ndarray:
+    """Quintic Bernstein interpolation over the control-point axis.
+
+    ctrl: (..., 6) control points; x in [0, 1]. Matches the inline Bezier in
+    ArHosekSkyModel_CookConfiguration (coefficients 1,5,10,10,5,1)."""
+    x = float(x)
+    xi = 1.0 - x
+    w = np.asarray([xi**5, 5 * xi**4 * x, 10 * xi**3 * x**2,
+                    10 * xi**2 * x**3, 5 * xi * x**4, x**5], np.float64)
+    return np.tensordot(np.asarray(ctrl, np.float64), w, axes=([-1], [0]))
+
+
+def _turbidity_albedo_blend(dataset: np.ndarray, turbidity: float,
+                            albedo: float, solar_elevation: float):
+    """Shared cook logic: Bezier over elevation, bilinear over the
+    (int-turbidity, albedo) grid. dataset: (2, 10, 6, ...)."""
+    turbidity = float(np.clip(turbidity, 1.0, 10.0))
+    albedo = float(np.clip(albedo, 0.0, 1.0))
+    int_turb = min(int(turbidity), 9)  # 1..9 so int_turb+1 is valid
+    turb_rem = turbidity - int_turb
+    # ArHosek warps elevation into Bezier space with a cube root
+    x = (max(float(solar_elevation), 0.0) / (np.pi / 2.0)) ** (1.0 / 3.0)
+    # dataset axes: (albedo, turbidity-1, ctrl, coeff...) -> Bezier over ctrl
+    bez = quintic_bezier(np.moveaxis(dataset, 2, -1), x)  # (2, 10, ...)
+    lo, hi = bez[:, int_turb - 1], bez[:, min(int_turb, 9)]
+    by_alb = lo * (1.0 - turb_rem) + hi * turb_rem  # (2, ...)
+    return by_alb[0] * (1.0 - albedo) + by_alb[1] * albedo
+
+
+def cook_configuration(dataset: np.ndarray, turbidity: float, albedo: float,
+                       solar_elevation: float) -> np.ndarray:
+    """ArHosekSkyModel_CookConfiguration twin.
+
+    dataset: (2, 10, 6, 9) per-channel coefficient tables in ArHosek's
+    on-disk coefficient order [A, B, C, D, E, F, G(mie coef), I(zenith),
+    H(mie anisotropy g)]. Returns that 9-vector."""
+    assert dataset.shape == (2, 10, 6, 9), dataset.shape
+    return _turbidity_albedo_blend(dataset, turbidity, albedo,
+                                   solar_elevation)
+
+
+def cook_radiance_configuration(dataset_rad: np.ndarray, turbidity: float,
+                                albedo: float,
+                                solar_elevation: float) -> float:
+    """ArHosekSkyModel_CookRadianceConfiguration twin; (2, 10, 6) -> scalar."""
+    assert dataset_rad.shape == (2, 10, 6), dataset_rad.shape
+    return float(_turbidity_albedo_blend(dataset_rad, turbidity, albedo,
+                                         solar_elevation))
+
+
+def arhosek_config_to_params(config: np.ndarray,
+                             radiance_scale: float) -> np.ndarray:
+    """ArHosek 9-config + radiance scale -> our [A..I] parameter order.
+
+    ArHosekSkyModel_GetRadianceInternal evaluates
+        (1 + c0 e^{c1/(cos th + 0.01)}) *
+        (c2 + c3 e^{c4 g} + c5 cos^2 g + c6 chi(c8, g) + c7 sqrt(cos th))
+    scaled by the cooked radiance configuration. The second factor is
+    linear in (c2, c3, c5, c6, c7), so the radiance scale folds into them
+    exactly; the reorder maps (c6 -> G, c8 -> H, c7 -> I)."""
+    c = np.asarray(config, np.float64)
+    s = float(radiance_scale)
+    return np.asarray(
+        [c[0], c[1], c[2] * s, c[3] * s, c[4], c[5] * s, c[6] * s, c[8],
+         c[7] * s], np.float64)
+
+
+def load_arhosek_header(path: str):
+    """Parse the published ArHosekSkyModelData_RGB.h into arrays.
+
+    Accepts the authors' C header verbatim: extracts `double name[] =
+    {...}` initializers, takes the three 1080-element coefficient tables
+    and three 120-element radiance tables in declaration order (R, G, B),
+    and reshapes the flat [albedo-block][turbidity][ctrl][coeff] layout
+    (offsets 9*6*10 per albedo, 9*6 per turbidity, 9 per control point —
+    ArHosekSkyModel_CookConfiguration's indexing) into (3, 2, 10, 6, 9)
+    and (3, 2, 10, 6). Returns (datasets, datasets_rad)."""
+    import re
+
+    text = open(path).read()
+    text = re.sub(r"//[^\n]*", "", text)
+    text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+    arrays = []
+    for m in re.finditer(
+            r"double\s+(\w+)\s*\[\s*\]\s*=\s*\{(.*?)\}", text, flags=re.S):
+        body = m.group(2)
+        vals = np.asarray(
+            [float(v) for v in re.findall(
+                r"[-+]?[\d.]+(?:[eE][-+]?\d+)?", body)], np.float64)
+        arrays.append((m.group(1), vals))
+    coef = [v for _, v in arrays if v.size == 2 * 10 * 6 * 9]
+    rad = [v for _, v in arrays if v.size == 2 * 10 * 6]
+    if len(coef) < 3 or len(rad) < 3:
+        raise ValueError(
+            f"{path}: expected 3 coefficient (1080) + 3 radiance (120) "
+            f"tables, found {len(coef)} + {len(rad)}")
+    datasets = np.stack([v.reshape(2, 10, 6, 9) for v in coef[:3]])
+    datasets_rad = np.stack([v.reshape(2, 10, 6) for v in rad[:3]])
+    return datasets, datasets_rad
 
 
 def _fit_channel_fixed(ct, cg, g, y, B, E, H, iters=4):
@@ -153,6 +280,42 @@ class HosekWilkieSky:
         ])
         return HosekWilkieSky(
             sun_direction=jnp.asarray(sun),
+            params_rgb=jnp.asarray(params, jnp.float32),
+            ground_albedo=jnp.asarray(ground_albedo, jnp.float32),
+        )
+
+    @staticmethod
+    def from_dataset(sun_direction, dataset, turbidity: float = 4.0,
+                     albedo=(0.0, 0.0, 0.0), exposure: float = 1.0,
+                     ground_albedo=(0.12, 0.11, 0.10)):
+        """Exact reference parameter path: cook the published ArHosek
+        tables for this sun elevation (src/common.cpp:541-546 renders the
+        same model through the dw HosekWilkieSkyModel extra).
+
+        dataset: path to ArHosekSkyModelData_RGB.h, or a
+        (datasets (3,2,10,6,9), datasets_rad (3,2,10,6)) tuple. albedo is
+        the model's per-channel ground albedo input (dataset axis 0);
+        exposure is a uniform output scale (the raw tables are in physical
+        spectral-radiance-derived units ~O(100), far above the renderer's
+        [0,1]-ish lighting scale)."""
+        if isinstance(dataset, (str, bytes)):
+            datasets, datasets_rad = load_arhosek_header(dataset)
+        else:
+            datasets, datasets_rad = dataset
+        sun = np.asarray(sun_direction, np.float64)
+        sun = sun / np.linalg.norm(sun)
+        elevation = float(np.arcsin(np.clip(sun[1], -1.0, 1.0)))
+        alb = np.broadcast_to(np.asarray(albedo, np.float64), (3,))
+        params = np.stack([
+            arhosek_config_to_params(
+                cook_configuration(datasets[c], turbidity, alb[c],
+                                   elevation),
+                cook_radiance_configuration(datasets_rad[c], turbidity,
+                                            alb[c], elevation) * exposure)
+            for c in range(3)
+        ])
+        return HosekWilkieSky(
+            sun_direction=jnp.asarray(sun, jnp.float32),
             params_rgb=jnp.asarray(params, jnp.float32),
             ground_albedo=jnp.asarray(ground_albedo, jnp.float32),
         )

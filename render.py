@@ -52,6 +52,10 @@ def parse_args():
                    help="procedural sky model (reference default is "
                         "Hosek-Wilkie, common.cpp:541-546; see "
                         "ops/hosek.py for the offline-fit caveat)")
+    p.add_argument("--hosek-data", default=None, metavar="PATH",
+                   help="path to the published ArHosekSkyModelData_RGB.h; "
+                        "when given, --sky hosek cooks the exact reference "
+                        "tables instead of the offline fit")
     p.add_argument("--env", default=None,
                    help="environment: procedural sky (default), a named HDR "
                         "(arches|basketball_court|environment|overcast), or "
@@ -133,7 +137,12 @@ def main():
     elif args.sky == "hosek":
         from hybrid_rendering_tpu.ops.hosek import HosekWilkieSky
 
-        sky = HosekWilkieSky.create(np.asarray(light.direction))
+        if args.hosek_data:
+            sky = HosekWilkieSky.from_dataset(
+                np.asarray(light.direction), args.hosek_data,
+                exposure=0.02)  # physical-units tables -> lighting scale
+        else:
+            sky = HosekWilkieSky.create(np.asarray(light.direction))
         env_fn = sky.radiance
         irr_fn, pref_fn = make_env_fallbacks(env_fn)
     else:
