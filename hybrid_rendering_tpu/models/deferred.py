@@ -58,9 +58,13 @@ def deferred_shading(
     env_irradiance_fn: Optional[Callable] = None,  # dir -> (..,3) SH-9 fallback
     env_prefiltered_fn: Optional[Callable] = None,  # (dir, roughness) -> (..,3)
     cfg: DeferredConfig = DeferredConfig(),
+    components_out: Optional[dict] = None,
 ):
     """Combine all effect outputs into the HDR frame (deferred.frag:144-205).
-    Returns (H,W,3) HDR radiance."""
+    Returns (H,W,3) HDR radiance. Pass a dict as `components_out` to also
+    receive the direct / indirect-diffuse / indirect-specular planes (a
+    debug split the reference exposes only implicitly through its
+    per-feature enable pushes, deferred_shading.cpp:704-711)."""
     geom = gb.mesh_id >= 0
 
     n = gb.normal
@@ -109,6 +113,15 @@ def deferred_shading(
     indirect = (indirect_diffuse + indirect_specular) * ao_term
 
     color = direct + indirect
+
+    if components_out is not None:
+        off = jnp.zeros_like(direct)
+        geom3 = geom[..., None]
+        components_out["direct"] = jnp.where(geom3, direct, off)
+        components_out["indirect_diffuse"] = jnp.where(
+            geom3, indirect_diffuse * ao_term, off)
+        components_out["indirect_specular"] = jnp.where(
+            geom3, indirect_specular * ao_term, off)
 
     # --- skybox (deferred_shading.cpp:800-818) ---
     _, dirs = camera_utils.camera_rays(camera, width, height)

@@ -311,9 +311,12 @@ class HybridRenderer:
                 env_irradiance_fn=self.env_irradiance_fn,
                 env_prefiltered_fn=self.env_prefiltered_fn,
                 cfg=cfg.deferred,
+                components_out=(comps := {} if debug else None),
             )
         if debug:
             outputs["deferred"] = hdr
+            for k, v in comps.items():
+                outputs[f"deferred_{k}"] = v
 
         # --- TAA (main.cpp:90-97) ---
         taa_state = state.taa
