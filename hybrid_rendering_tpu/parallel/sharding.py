@@ -7,9 +7,11 @@ inserts the halo exchanges for the stencil filters (pad+slice chains) and
 the collectives for reprojection gathers — the TPU-native equivalent of
 splitting the frame across GPUs with explicit NCCL halos.
 
-The Pallas FlashTrace kernel is not GSPMD-partitionable, so multi-chip
-frames use the pure-XLA tracer ("brute"/"bvh"); a shard_map'd FlashTrace
-lands in a later round.
+The Pallas FlashTrace kernel is not GSPMD-partitionable by itself, so
+multi-chip frames wrap it in ``parallel.trace.shard_ray_fn`` (shard_map
+over the ray axis, per-device pallas_call) — pass ``mesh=`` to
+``HybridRenderer`` to get the production flash-sharded frame; the pure-XLA
+tracer ("brute"/"bvh") also works under plain GSPMD.
 """
 from __future__ import annotations
 
