@@ -10,12 +10,12 @@ reflections + DDGI + TAA + tonemap) at 1920x1080 on one TPU chip, target
 < 33 ms/frame. vs_baseline = 33 / measured_ms (>1 means faster than
 target).
 
-detail sections, in priority order (each guarded by remaining budget):
-  - sponza_hi_ms: the same pipeline on the 191k-triangle hero scene
+detail sections, cheapest-evidence-first (each guarded by budget):
   - fidelity: pooled relative RMSE vs the GT path tracer on gi_test
   - golden: on-device LDR vs the committed golden image (catches
     Mosaic/bf16 numeric drift mechanically; gate 2%)
   - passes_ms: cumulative-variant deltas per pass group
+  - sponza_hi_ms: the same pipeline on the hero scene (priciest compile)
 """
 from __future__ import annotations
 
@@ -99,6 +99,20 @@ def _build(scene_name, W, H, *, sh=True, ao=True, rf=True, gi=True,
     return r, light, camkw
 
 
+def _sync(x) -> float:
+    """Force completion of x's dependency chain and return a scalar.
+
+    block_until_ready() is a NO-OP on the remote-TPU tunnel platform
+    (measured round 4: 10 dispatched frames "completed" in 0.3 ms), so
+    every timing must drain the queue through an actual value fetch. A
+    jitted scalar reduction keeps the host transfer to 4 bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return float(np.asarray(jax.jit(jnp.sum)(x)))
+
+
 def _time_frames(r, light, camkw, iters=10):
     import jax
 
@@ -108,12 +122,14 @@ def _time_frames(r, light, camkw, iters=10):
     light = jax.device_put(light)
     t0 = time.perf_counter()
     outputs, state = step(state, cam, light)
-    outputs["ldr"].block_until_ready()
+    _sync(outputs["ldr"])
     compile_s = time.perf_counter() - t0
+    # true throughput: frames chain through the donated state, one
+    # scalar fetch at the end drains the pipeline
     t0 = time.perf_counter()
     for _ in range(iters):
         outputs, state = step(state, cam, light)
-    outputs["ldr"].block_until_ready()
+    _sync(outputs["ldr"])
     ms = (time.perf_counter() - t0) / iters * 1e3
     return ms, compile_s, outputs
 
@@ -183,19 +199,10 @@ def main():
     _emit(_result)  # evidence is on the wire before any optional section
     del r
 
-    # --- hero scene at reference scale (VERDICT r2 #6) ---
-    try:
-        if not _budget_left(60.0):
-            raise TimeoutError(f"budget ({_elapsed():.0f}s elapsed)")
-        rh, lh, ch = _build("sponza_hi", W, H)
-        hero_ms, hero_compile, _ = _time_frames(rh, lh, ch, iters=5)
-        detail["sponza_hi_ms"] = round(hero_ms, 2)
-        detail["sponza_hi_triangles"] = int(rh.scene.num_triangles)
-        del rh
-    except Exception as e:  # noqa: BLE001 — keep the JSON line alive
-        detail["sponza_hi_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    # --- fidelity vs GT on gi_test (tracked per round, VERDICT r2 #4) ---
+    # --- fidelity vs GT on gi_test (tracked per round, VERDICT r2 #4).
+    # Cheapest-evidence-first (VERDICT r3 #2): the 256^2 compile is a
+    # fraction of a 1080p one, so this section must land before the
+    # expensive hero-scene / per-pass rebuilds. ---
     ldr = None
     try:
         if not _budget_left(90.0):
@@ -247,8 +254,9 @@ def main():
     except Exception as e:  # noqa: BLE001
         detail["golden_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # --- per-pass breakdown via cumulative variants (cheapest to cut:
-    # each variant is a full 1080p rebuild; run them last) ---
+    # --- per-pass breakdown via cumulative variants (each variant is a
+    # 1080p rebuild — cheaper than the hero scene's fresh-geometry
+    # compile, so it runs before it) ---
     try:
         passes_ms = {}
         prev = None
@@ -270,8 +278,22 @@ def main():
             prev = m
             del rv
         detail["passes_ms"] = passes_ms
+        _emit(_result)  # checkpoint the detail so far
     except Exception as e:  # noqa: BLE001
         detail["passes_ms_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # --- hero scene at reference scale (VERDICT r2 #6): the most
+    # expensive compile (fresh geometry at 1080p) runs LAST ---
+    try:
+        if not _budget_left(60.0):
+            raise TimeoutError(f"budget ({_elapsed():.0f}s elapsed)")
+        rh, lh, ch = _build("sponza_hi", W, H)
+        hero_ms, hero_compile, _ = _time_frames(rh, lh, ch, iters=5)
+        detail["sponza_hi_ms"] = round(hero_ms, 2)
+        detail["sponza_hi_triangles"] = int(rh.scene.num_triangles)
+        del rh
+    except Exception as e:  # noqa: BLE001 — keep the JSON line alive
+        detail["sponza_hi_error"] = f"{type(e).__name__}: {e}"[:200]
 
     detail["bench_wall_s"] = round(_elapsed(), 1)
     _emit(_result)  # final line: same headline + the full detail
