@@ -26,8 +26,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 _ATROUS_KERNEL = (1.0, 2.0 / 3.0, 1.0 / 6.0)  # matches ops/filters.py
-_BAND = 128  # rows per grid step (plus 2M halo rows in the slab DMA)
+
+# rows per grid step (plus 2M halo rows in the slab DMA). Mosaic compile
+# time is strongly superlinear in the output-block AREA — measured r4 on
+# the 4-step 1080p chain: (128, 1920) blocks = 82.7 s compile / 4.06 ms,
+# (32, 1920) = 8.9 s / 3.19 ms (identical sums) — so the band is picked
+# to keep blocks near _BLOCK_AREA f32 elements instead of a fixed height.
+_BAND = int(os.environ.get("HR_STENCIL_BAND", "0"))  # 0 = auto
+_BLOCK_AREA = 64 * 1024
+
+
+def _pick_band(H: int, W: int) -> int:
+    h8 = -(-H // 8) * 8
+    if _BAND:
+        return min(_BAND, h8)
+    band = max(8, min(128, _BLOCK_AREA // max(W, 1)))
+    band = 1 << (band.bit_length() - 1)  # floor to a power of two
+    return min(band, h8)
 
 
 def _make_step_kernel(H, W, WP, M, BAND, step, radius, phi_color,
@@ -127,7 +145,7 @@ def _atrous_step(planes, var, guides, mask, *, step, radius, phi_color,
     C = len(planes)
     H, W = planes[0].shape
     M = -(-(step * radius) // 8) * 8
-    BAND = min(_BAND, -(-H // 8) * 8)
+    BAND = _pick_band(H, W)
     HB = -(-H // BAND) * BAND
     WP = -(-(W + 2 * M) // 128) * 128
 
@@ -303,7 +321,7 @@ def bilateral_blur(img, normal, depth, mask, *, radius=4, depth_phi=1.0,
     H, W = img.shape
     sigma = radius / 1.5
     M = -(-radius // 8) * 8
-    BAND = min(_BAND, -(-H // 8) * 8)
+    BAND = _pick_band(H, W)
     HB = -(-H // BAND) * BAND
     WP = -(-(W + 2 * M) // 128) * 128
 
