@@ -202,11 +202,17 @@ def test_packet_lists_no_overflow_on_scenes():
         assert int(np.asarray(counts).max()) <= flashtrace.MAX_CLUSTERS
 
 
-def test_sparse_overflow_falls_back_dense():
+def test_sparse_overflow_exact_rounds():
     """When a packet's raw candidate count exceeds the list capacity K,
-    the sparse call must lax.cond over to the exact dense kernel instead
-    of silently dropping clusters (ADVICE r2 high: incoherent probe/AO
-    packets list every cluster and an arbitrary first-K was kept)."""
+    the sparse call must trace the remaining rank windows in extra
+    same-payload rounds instead of silently dropping clusters (ADVICE r2
+    high: incoherent probe/AO packets list every cluster and an arbitrary
+    first-K was kept; r4 replaced the r3 dense lax.cond fallback with the
+    rounds loop — one Mosaic payload per site instead of two). Winners
+    must match the dense fp32 oracle exactly by id; t/u/v to the sparse
+    kernel's bf16x3 split-operand precision (~2^-16 relative — the r3
+    test compared bitwise only because its fallback literally RAN the
+    fp32 dense kernel)."""
     tri = _random_tris(1024, seed=7)  # 8 clusters at TRI_TILE=128
     fs = flashtrace.make_flash_scene(jnp.asarray(tri))
     assert fs.num_tri_tiles >= 8
@@ -228,7 +234,7 @@ def test_sparse_overflow_falls_back_dense():
     np.testing.assert_array_equal(
         np.asarray(hit_s.tri_id), np.asarray(hit_d.tri_id))
     np.testing.assert_allclose(
-        np.asarray(hit_s.t), np.asarray(hit_d.t), rtol=1e-5)
+        np.asarray(hit_s.t), np.asarray(hit_d.t), rtol=3e-4, atol=3e-4)
 
     vis_s = flashtrace._flash_sparse_impl(
         fs, jnp.asarray(o), jnp.asarray(d), tm, 1e-3, True,
