@@ -592,8 +592,12 @@ def ddgi_update(
                 grid, state, cfg, surf.position, surf.normal, -d
             )
         gate = (state.first_frame == 0).astype(jnp.float32)
+        # kD x c_diffuse x irradiance — gi_ray_trace.rchit:82-88 weights
+        # the bounce by (1 - fresnel_schlick_roughness)(1 - metallic) too
+        kd = brdf_ops.kd_indirect(surf.normal, -d, f0, surf.roughness,
+                                  surf.metallic)
         radiance = radiance + (
-            c_diff * bounce * cfg.infinite_bounce_intensity * gate
+            kd * c_diff * bounce * cfg.infinite_bounce_intensity * gate
         )
 
     # Backface suppression (Majercik et al. 2019 §4.2; the reference's

@@ -22,28 +22,6 @@ from hybrid_rendering_tpu.types import Camera, GBuffer, Light
 from hybrid_rendering_tpu.utils import camera as camera_utils
 
 
-def _fresnel_schlick_roughness(cos_theta, f0, roughness):
-    """fresnel_schlick_roughness (deferred.frag:88-91)."""
-    fr = jnp.maximum(1.0 - roughness, f0[..., 0] * 0.0 + (1.0 - roughness))
-    fr3 = jnp.stack([fr, fr, fr], axis=-1)
-    return f0 + (jnp.maximum(fr3, f0) - f0) * jnp.power(
-        jnp.clip(1.0 - cos_theta, 0.0, 1.0), 5.0
-    )[..., None]
-
-
-def _env_brdf_approx(roughness, ndotv):
-    """Analytic split-sum BRDF LUT approximation (Karis/Lazarov) standing in
-    for the preintegrated 2D LUT (dw BRDFIntegrateLUT, deferred.frag:167).
-    Returns (scale, bias) for f0*scale + bias."""
-    c0 = jnp.asarray([-1.0, -0.0275, -0.572, 0.022], jnp.float32)
-    c1 = jnp.asarray([1.0, 0.0425, 1.04, -0.04], jnp.float32)
-    r = roughness[..., None] * c0 + c1
-    a004 = jnp.minimum(r[..., 0] * r[..., 0], jnp.exp2(-9.28 * ndotv)) * r[..., 0] + r[..., 1]
-    scale = a004 * -1.04 + r[..., 2]
-    bias = a004 * 1.04 + r[..., 3]
-    return scale, bias
-
-
 def deferred_shading(
     gb: GBuffer,
     camera: Camera,
@@ -85,7 +63,7 @@ def deferred_shading(
     direct = brdf_val * (att * vis)[..., None] * li
 
     # --- indirect (deferred.frag:153-173) ---
-    kS = _fresnel_schlick_roughness(ndotv, f0, gb.roughness)
+    kS = brdf_ops.fresnel_schlick_roughness(ndotv, f0, gb.roughness)
     kD = (1.0 - kS) * (1.0 - gb.metallic[..., None])
 
     if gi_irradiance is not None:
@@ -94,7 +72,11 @@ def deferred_shading(
         irradiance = env_irradiance_fn(n)
     else:
         irradiance = jnp.zeros_like(gb.albedo)
-    indirect_diffuse = irradiance * gb.albedo * kD
+    # kD * c_diffuse * irradiance — the reference weights indirect diffuse
+    # by c_diffuse (deferred.frag:152,162-163 `diffuse = irradiance *
+    # diffuse_color` with diffuse_color = c_diffuse), NOT raw albedo; the
+    # GT path tracer uses the same c_diffuse (gi_ray_trace.rchit:117).
+    indirect_diffuse = irradiance * c_diffuse * kD
 
     if reflections is not None:
         prefiltered = reflections
@@ -103,7 +85,7 @@ def deferred_shading(
         prefiltered = env_prefiltered_fn(r, gb.roughness)
     else:
         prefiltered = jnp.zeros_like(gb.albedo)
-    scale, bias = _env_brdf_approx(gb.roughness, ndotv)
+    scale, bias = brdf_ops.env_brdf_approx(gb.roughness, ndotv)
     indirect_specular = (
         prefiltered * (f0 * scale[..., None] + bias[..., None])
         * cfg.indirect_specular_strength

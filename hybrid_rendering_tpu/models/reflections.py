@@ -176,13 +176,21 @@ def ray_trace(
         else:
             gi_merged = gi_sample_fn(gi_p, gi_n, gi_wo, valid=gi_valid)
 
-    # indirect at the hit (rchit:87-111): DDGI diffuse + IBL specular
+    # indirect at the hit (rchit:87-111): kD x DDGI diffuse + split-sum
+    # IBL specular, exactly reflections_ray_trace.rchit:91-110
+    if want_hit_gi or env_prefiltered_fn is not None:
+        s_ndotv = jnp.clip(dot(sn, s_wo), 0.0, 1.0)
+        kS = brdf_ops.fresnel_schlick_roughness(s_ndotv, f0, s_rough)
     if want_hit_gi:
-        hit_color = hit_color + gi_merged * c_diff * cfg.gi_intensity
+        kD = (1.0 - kS) * (1.0 - s_metal[..., None])
+        hit_color = hit_color + kD * gi_merged * c_diff * cfg.gi_intensity
     if env_prefiltered_fn is not None:
         refl_at_hit = reflect(-s_wo, sn)
         spec = env_prefiltered_fn(refl_at_hit, s_rough)
-        hit_color = hit_color + spec * f0 * cfg.ibl_indirect_specular_intensity
+        scale, bias = brdf_ops.env_brdf_approx(s_rough, s_ndotv)
+        hit_color = hit_color + spec * (
+            kS * scale[..., None] + bias[..., None]
+        ) * cfg.ibl_indirect_specular_intensity
 
     # --- misses: environment (rmiss) ---
     miss_color = sky_radiance_fn(ray_dir)

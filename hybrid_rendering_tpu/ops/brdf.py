@@ -131,5 +131,39 @@ def f0_from_metallic(albedo, metallic):
     return 0.04 * (1.0 - metallic[..., None]) + albedo * metallic[..., None]
 
 
+def fresnel_schlick_roughness(cos_theta, f0, roughness):
+    """fresnel_schlick_roughness (deferred.frag:145-148 and the identical
+    copies in gi_ray_trace.rchit:73-78 / reflections_ray_trace.rchit:80-85).
+    cos_theta/roughness (...,), f0 (..., 3) -> (..., 3)."""
+    fr = jnp.broadcast_to((1.0 - roughness)[..., None], f0.shape)
+    return f0 + (jnp.maximum(fr, f0) - f0) * jnp.power(
+        jnp.clip(1.0 - cos_theta, 0.0, 1.0), 5.0
+    )[..., None]
+
+
+def kd_indirect(n, wo, f0, roughness, metallic):
+    """kD for indirect diffuse: (1 - fresnel_schlick_roughness) * (1 -
+    metallic) — gi_ray_trace.rchit:82-86, reflections_ray_trace.rchit:91-95,
+    deferred.frag:156-159."""
+    ndotv = jnp.clip(jnp.sum(n * wo, axis=-1), 0.0, 1.0)
+    ks = fresnel_schlick_roughness(ndotv, f0, roughness)
+    return (1.0 - ks) * (1.0 - metallic[..., None])
+
+
+def env_brdf_approx(roughness, ndotv):
+    """Analytic split-sum BRDF LUT approximation (Karis mobile/Lazarov)
+    standing in for the preintegrated 2D LUT (dw BRDFIntegrateLUT,
+    deferred.frag:167, reflections_ray_trace.rchit:102). Returns
+    (scale, bias) for f0*scale + bias."""
+    c0 = jnp.asarray([-1.0, -0.0275, -0.572, 0.022], jnp.float32)
+    c1 = jnp.asarray([1.0, 0.0425, 1.04, -0.04], jnp.float32)
+    r = roughness[..., None] * c0 + c1
+    a004 = jnp.minimum(r[..., 0] * r[..., 0],
+                       jnp.exp2(-9.28 * ndotv)) * r[..., 0] + r[..., 1]
+    scale = a004 * -1.04 + r[..., 2]
+    bias = a004 * 1.04 + r[..., 3]
+    return scale, bias
+
+
 def diffuse_from_metallic(albedo, metallic):
     return albedo * (1.0 - metallic[..., None])

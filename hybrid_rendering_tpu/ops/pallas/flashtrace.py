@@ -962,10 +962,15 @@ OVERFLOW_ROUNDS = _os.environ.get("FLASH_OVERFLOW_ROUNDS", "1") == "1"
 CHUNK_P = int(_os.environ.get("FLASH_CHUNK_P", "1024"))
 
 
+_K_CAP_ENV = int(_os.environ.get("FLASH_K_CAP", "0"))  # sweep override
+
+
 def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
                        interpret, with_attrs, any_hit=False,
                        k_cap=MAX_CLUSTERS, vis_bf16=None):
     R = origin.shape[0]
+    if _K_CAP_ENV:
+        k_cap = _K_CAP_ENV
     C = max(1, CLUSTERS_PER_STEP)
     K = max(C, -(-min(fs.num_tri_tiles, k_cap) // C) * C)
 

@@ -90,6 +90,10 @@ PRESETS: Dict[str, ScenePreset] = {
         ddgi_probe_distance=3.0, ddgi_normal_bias=0.2,
         ddgi_infinite_bounce_intensity=1.7,
     ),
+    "sponza_scan": ScenePreset(
+        ddgi_probe_distance=3.0, ddgi_normal_bias=0.2,
+        ddgi_infinite_bounce_intensity=1.7,
+    ),
 }
 
 

@@ -61,16 +61,23 @@ def main():
         state = jax.device_put(state, tpu)
         cam = jax.device_put(cam, tpu)
         light_d = jax.device_put(light, tpu)
+        import jax.numpy as jnp
+
+        def _sync(x):
+            # block_until_ready is a NO-OP on the remote tunnel; drain the
+            # pipeline through a 4-byte scalar fetch (see bench.py _sync)
+            return float(np.asarray(jax.jit(jnp.sum)(x)))
+
         step = jax.jit(r.render_frame, donate_argnums=(0,))
         t0 = time.time()
         compiled = step.lower(state, cam, light_d).compile()
         compile_s = time.time() - t0
         outputs, state = compiled(state, cam, light_d)
-        outputs["ldr"].block_until_ready()
+        _sync(outputs["ldr"])
         t0 = time.time()
         for _ in range(10):
             outputs, state = compiled(state, cam, light_d)
-        outputs["ldr"].block_until_ready()
+        _sync(outputs["ldr"])
         ms = (time.time() - t0) / 10 * 1e3
         rows.append(dict(variant=name, build_s=round(build_s, 1),
                          compile_s=round(compile_s, 1),

@@ -10,15 +10,25 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timeit(fn, *args, iters=5):
+def _sync(out):
+    """block_until_ready is a NO-OP on the remote tunnel; drain through a
+    4-byte scalar fetch (see bench.py _sync)."""
     import jax
+    import jax.numpy as jnp
 
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype")]
+    return float(np.asarray(jax.jit(
+        lambda xs: sum(jnp.sum(x.astype(jnp.float32)) for x in xs))(leaves)))
+
+
+def timeit(fn, *args, iters=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -92,19 +92,28 @@ def main():
         r'@tpu_custom_call.*?(?=\n)', txt, re.S)]
     names = collections.Counter()
     per_name = collections.defaultdict(set)
+    sigs = {}
     for s in sites:
         nm = re.search(r'kernel_name = "([^"]+)"', s)
         name = nm.group(1) if nm else "?"
         names[name] += 1
         # strip SSA value names so only the payload + shapes distinguish
         canon = re.sub(r"%\w+", "%", s)
-        per_name[name].add(hash(canon))
+        h = hash(canon)
+        per_name[name].add(h)
+        if h not in sigs:
+            # shape signature: the op's result types (drop payload text)
+            rt = re.search(r"->\s*(\([^)]*\)|[^ ]+)", s)
+            sigs[h] = (name, rt.group(1)[:120] if rt else "?")
     print(f"scene={scene_name} res={W}x{H}")
     print(f"tpu_custom_call sites: {len(sites)}")
     print(f"distinct (name,payload,shape) kernels: "
           f"{sum(len(v) for v in per_name.values())}")
     for k in sorted(per_name, key=lambda k: -names[k]):
         print(f"  sites={names[k]:4d} distinct={len(per_name[k]):4d}  {k}")
+    print("\ndistinct payload signatures:")
+    for h, (name, sig) in sorted(sigs.items(), key=lambda kv: kv[1]):
+        print(f"  {name:28s} -> {sig}")
 
 
 if __name__ == "__main__":
