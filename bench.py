@@ -105,12 +105,16 @@ def _sync(x) -> float:
     block_until_ready() is a NO-OP on the remote-TPU tunnel platform
     (measured round 4: 10 dispatched frames "completed" in 0.3 ms), so
     every timing must drain the queue through an actual value fetch. A
-    jitted scalar reduction keeps the host transfer to 4 bytes.
-    """
+    jitted scalar reduction keeps the host transfer to 4 bytes. Accepts
+    any pytree (sums all float-castable leaves)."""
     import jax
     import jax.numpy as jnp
 
-    return float(np.asarray(jax.jit(jnp.sum)(x)))
+    leaves = [v for v in jax.tree_util.tree_leaves(x)
+              if hasattr(v, "dtype")]
+    return float(np.asarray(jax.jit(
+        lambda xs: sum(jnp.sum(v.astype(jnp.float32)) for v in xs)
+    )(leaves)))
 
 
 def _time_frames(r, light, camkw, iters=10, keep_state=False):

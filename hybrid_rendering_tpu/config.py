@@ -71,10 +71,6 @@ class AOConfig:
     denoise: bool = True
     blur_radius: int = 4  # separable bilateral radius
     power: float = 1.2  # ao_upsample.comp:108
-    # 1 = per-pixel cosine sample (reference ao_ray_trace.comp:90-126);
-    # g>1 shares one sample per g x g block so trace packets get coherent
-    # directions (see models/ao.py ray_trace) — perf knob, A/B on TPU
-    sample_granularity: int = 1
 
 
 @dataclass(frozen=True)

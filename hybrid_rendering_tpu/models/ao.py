@@ -51,21 +51,12 @@ def ray_trace(
     """1 cosine-lobe occlusion ray/pixel, finite length
     (ao_ray_trace.comp:90-126)."""
     h, w = gb.depth.shape
-    g = max(1, int(cfg.sample_granularity))
-    if g > 1:
-        # one cosine-lobe sample per g x g block: on flat surfaces every
-        # ray in a 256-pixel trace packet shares a direction, so the
-        # sparse tracer's per-packet cluster lists stay short (the
-        # per-pixel variant is the most incoherent trace in the frame).
-        # The shared sample varies per frame; temporal accumulation +
-        # the bilateral blur absorb the intra-block correlation.
-        hu = -(-h // g)
-        wu = -(-w // g)
-        uu, vv = bluenoise.sample2d_grid(hu, wu, frame_index, dim=1)
-        u = jnp.repeat(jnp.repeat(uu, g, 0), g, 1)[:h, :w]
-        v = jnp.repeat(jnp.repeat(vv, g, 0), g, 1)[:h, :w]
-    else:
-        u, v = bluenoise.sample2d_grid(h, w, frame_index, dim=1)
+    # per-pixel cosine sample (reference ao_ray_trace.comp:90-126). A
+    # g x g block-shared-sample variant ("sample_granularity") was
+    # measured in r4 at 14.4 s vs 114 ms per-pixel on TPU (clusters/
+    # packet barely moved, 4.98 -> 4.47, and the repeat defeated the
+    # packet linearization) — deleted, per-pixel is the only mode.
+    u, v = bluenoise.sample2d_grid(h, w, frame_index, dim=1)
     r2 = jnp.stack([u, v], axis=-1)
 
     wi = brdf_ops.sample_cosine_lobe(gb.normal, r2)

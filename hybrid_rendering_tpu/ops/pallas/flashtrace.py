@@ -98,6 +98,15 @@ class FlashScene(NamedTuple):
     # the 128-deep MXU at ~12% utilization (measured 26.5 Mrays/s; the
     # tiling sweep moved nothing, this is the bound)
     trimat48: jax.Array = None
+    # cluster-blocked layouts for the v3 in-kernel loop tracer (one DMA
+    # block per cluster): (NTT, 3*FEAT, 4*TRI_TILE) and (NTT, ATTR,
+    # TRI_TILE). attrs are TRANSPOSED vs the v2 BlockSpec layout: a
+    # manual make_async_copy with a dynamic leading index cannot slice
+    # an unaligned minor dim (Mosaic: "slice along dim 2 must be
+    # aligned to tiling (128), but is 24"), so TRI_TILE=128 must be the
+    # lane dim and ATTR=24 rides the 8-sublane tiling (24 % 8 == 0)
+    trimat48_blk: jax.Array = None
+    attrs_blk: jax.Array = None
 
 
 def make_flash_scene(
@@ -190,10 +199,16 @@ def make_flash_scene(
     trimat_hi = trimat.astype(jnp.bfloat16)
     trimat_lo = (trimat - trimat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     trimat48 = jnp.concatenate([trimat_hi, trimat_hi, trimat_lo], axis=0)
+    trimat48_blk = trimat48.reshape(
+        3 * FEAT, ntt, 4 * TRI_TILE).transpose(1, 0, 2)
     return FlashScene(
         trimat=trimat, cluster_box=cluster_box,
         center=center, num_tris=T, num_tri_tiles=ntt, attrs=attrs,
         trimat_hi=trimat_hi, trimat_lo=trimat_lo, trimat48=trimat48,
+        trimat48_blk=trimat48_blk,
+        attrs_blk=(None if attrs is None
+                   else attrs.reshape(ntt, TRI_TILE, ATTR)
+                   .transpose(0, 2, 1)),
         attrs_bf16_safe=(attrs_bf16_safe if tri_normal is not None
                          else False),
     )
@@ -826,13 +841,335 @@ def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
         pl.when(live)(_gated)
 
 
+# ---------------------------------------------------------------------
+# v3: in-kernel cluster loop. v2's rectangular grid (P, K/C) pays a fixed
+# ~1.4 us of Mosaic per grid STEP whether or not the step is live — at a
+# measured 2.65 mean clusters/packet against K=20 (shadows_test primaries)
+# ~75% of steps were dead, and the sweep showed anyhit (113 ms) ~ closest
+# (127 ms) despite wildly different epilogues: the bound was step count,
+# not compute. Here the grid is (P,) — ONE step per packet — and each
+# packet runs exactly ceil(count/C) iterations of a fori_loop, double-
+# buffering its cluster blocks HBM->VMEM with manual DMA. Dead work
+# drops to zero, the running best lives in loop-carried registers (no
+# per-step output-ref round trips), and packets with empty lists (masked
+# rays) cost one branch.
+# ---------------------------------------------------------------------
+
+
+def _loop_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
+                         *rest, t_min, tt, kk, cps, with_attrs,
+                         attrs_bf16=False, approx_div=False):
+    C = cps
+    if with_attrs:
+        attr_hbm, best_ref, id_ref, attr_out_ref = rest[:4]
+        mat_slab, sems, attr_slab, attr_sems = rest[4:]
+    else:
+        best_ref, id_ref = rest[:2]
+        mat_slab, sems = rest[2:]
+        attr_hbm = attr_slab = attr_sems = attr_out_ref = None
+
+    i = pl.program_id(0)
+    cnt = cnt_ref[i]
+    nsteps = (cnt + C - 1) // C
+    tmax_col = tmax_ref[:]
+
+    best_ref[:, 0:1] = tmax_col
+    best_ref[:, 1:3] = jnp.zeros_like(best_ref[:, 1:3])
+    id_ref[:] = jnp.full_like(id_ref[:], -1)
+    if with_attrs:
+        attr_out_ref[:] = jnp.zeros_like(attr_out_ref[:])
+
+    def _mat_dma(s, slot, j):
+        cid = ids_ref[i * kk + s * C + j]
+        return pltpu.make_async_copy(
+            mat_hbm.at[cid], mat_slab.at[slot, j], sems.at[slot, j])
+
+    def _attr_dma(s, slot, j):
+        cid = ids_ref[i * kk + s * C + j]
+        return pltpu.make_async_copy(
+            attr_hbm.at[cid], attr_slab.at[slot, j], attr_sems.at[slot, j])
+
+    def start(s, slot):
+        for j in range(C):
+            _mat_dma(s, slot, j).start()
+            if with_attrs:
+                _attr_dma(s, slot, j).start()
+
+    def wait(s, slot):
+        for j in range(C):
+            _mat_dma(s, slot, j).wait()
+            if with_attrs:
+                _attr_dma(s, slot, j).wait()
+
+    @pl.when(nsteps > 0)
+    def _trace():
+        start(0, 0)
+        feats = feats_ref[:]
+        f_hi, f_lo = _split_bf16(feats)
+        f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
+
+        def body(s, carry):
+            best, gid, acc = carry
+            slot = jax.lax.rem(s, 2)
+
+            @pl.when(s + 1 < nsteps)
+            def _():
+                start(s + 1, jax.lax.rem(s + 1, 2))
+
+            wait(s, slot)
+            prods = [jnp.dot(f48, mat_slab[slot, j],
+                             preferred_element_type=jnp.float32)
+                     for j in range(C)]
+            det = jnp.concatenate(
+                [p[:, 0 * tt: 1 * tt] for p in prods], axis=1)
+            tn = jnp.concatenate(
+                [p[:, 1 * tt: 2 * tt] for p in prods], axis=1)
+            un = jnp.concatenate(
+                [p[:, 2 * tt: 3 * tt] for p in prods], axis=1)
+            vn = jnp.concatenate(
+                [p[:, 3 * tt: 4 * tt] for p in prods], axis=1)
+            best_t = best[:, 0:1]
+            valid, st, adet, su, sv = _numerator_accept(
+                det, tn, un, vn, t_min, best_t)
+            safe_adet = jnp.maximum(adet, 1e-30)
+            if approx_div:
+                t = jnp.where(
+                    valid, st * pl.reciprocal(safe_adet, approx=True),
+                    BIG_T)
+            else:
+                t = jnp.where(valid, st / safe_adet, BIG_T)
+            tile_min = jnp.min(t, axis=1, keepdims=True)
+            improved = tile_min < best_t
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            sel = (t == tile_min) & improved
+            first = jnp.min(jnp.where(sel, lane, C * tt),
+                            axis=1, keepdims=True)
+            sel = (lane == first) & improved
+
+            def pick(x):
+                return jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                               keepdims=True)
+
+            inv = 1.0 / jnp.maximum(pick(adet), 1e-30)
+            win_t = pick(st) * inv if approx_div else tile_min
+            g = first
+            for j in range(C):
+                c_j = ids_ref[i * kk + s * C + j]
+                in_j = (first >= j * tt) & (first < (j + 1) * tt)
+                g = jnp.where(in_j, first + (c_j - j) * tt, g)
+            new_best = jnp.concatenate([
+                jnp.where(improved, win_t, best_t),
+                jnp.where(improved, pick(su) * inv, best[:, 1:2]),
+                jnp.where(improved, pick(sv) * inv, best[:, 2:3]),
+            ], axis=1)
+            new_gid = jnp.where(improved, g, gid)
+            if with_attrs:
+                # transposed layout: attr_cat is (ATTR, C*tt); contract
+                # both operands on the tt axis (N-T matmul on the MXU)
+                attr_cat = jnp.concatenate(
+                    [attr_slab[slot, j] for j in range(C)], axis=1)
+                sel_f = jnp.where(sel, 1.0, 0.0)
+                if attrs_bf16:
+                    attr_sel = jax.lax.dot_general(
+                        sel_f.astype(jnp.bfloat16),
+                        attr_cat.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    attr_sel = jax.lax.dot_general(
+                        sel_f, attr_cat, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                acc = jnp.where(improved, attr_sel, acc)
+            return new_best, new_gid, acc
+
+        init = (
+            jnp.concatenate(
+                [tmax_col, jnp.zeros((tmax_col.shape[0], 2), jnp.float32)],
+                axis=1),
+            jnp.full((tmax_col.shape[0], 1), -1, jnp.int32),
+            (jnp.zeros((tmax_col.shape[0], ATTR), jnp.float32)
+             if with_attrs else jnp.zeros((1, 1), jnp.float32)),
+        )
+        best, gid, acc = jax.lax.fori_loop(0, nsteps, body, init)
+        best_ref[:, 0:3] = best
+        id_ref[:] = gid
+        if with_attrs:
+            attr_out_ref[:] = acc
+
+
+def _loop_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
+                        vis_ref, mat_slab, sems, *, t_min, tt, kk, cps,
+                        vis_bf16=None):
+    C = cps
+    i = pl.program_id(0)
+    cnt = cnt_ref[i]
+    nsteps = (cnt + C - 1) // C
+    tmax_col = tmax_ref[:]
+    vis_ref[:] = (tmax_col > t_min).astype(jnp.int32)
+
+    def _mat_dma(s, slot, j):
+        cid = ids_ref[i * kk + s * C + j]
+        return pltpu.make_async_copy(
+            mat_hbm.at[cid], mat_slab.at[slot, j], sems.at[slot, j])
+
+    def start(s, slot):
+        for j in range(C):
+            _mat_dma(s, slot, j).start()
+
+    bf16 = VIS_BF16 if vis_bf16 is None else vis_bf16
+
+    @pl.when(nsteps > 0)
+    def _trace():
+        start(0, 0)
+        feats = feats_ref[:]
+        if bf16:
+            f48 = feats.astype(jnp.bfloat16)
+        else:
+            f_hi, f_lo = _split_bf16(feats)
+            f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
+
+        def body(s, vis):
+            slot = jax.lax.rem(s, 2)
+
+            @pl.when(s + 1 < nsteps)
+            def _():
+                start(s + 1, jax.lax.rem(s + 1, 2))
+
+            for j in range(C):
+                _mat_dma(s, slot, j).wait()
+            if bf16:
+                prods = [jnp.dot(f48, mat_slab[slot, j][:FEAT, :],
+                                 preferred_element_type=jnp.float32)
+                         for j in range(C)]
+                slop = EDGE_SLOP_VIS
+            else:
+                prods = [jnp.dot(f48, mat_slab[slot, j],
+                                 preferred_element_type=jnp.float32)
+                         for j in range(C)]
+                slop = EDGE_SLOP
+            det = jnp.concatenate(
+                [p[:, 0 * tt: 1 * tt] for p in prods], axis=1)
+            tn = jnp.concatenate(
+                [p[:, 1 * tt: 2 * tt] for p in prods], axis=1)
+            un = jnp.concatenate(
+                [p[:, 2 * tt: 3 * tt] for p in prods], axis=1)
+            vn = jnp.concatenate(
+                [p[:, 3 * tt: 4 * tt] for p in prods], axis=1)
+            valid, _, _, _, _ = _numerator_accept(
+                det, tn, un, vn, t_min, tmax_col, slop=slop)
+            blocked = jnp.max(valid.astype(jnp.int32), axis=1,
+                              keepdims=True)
+            return vis * (1 - blocked)
+
+        vis_ref[:] = jax.lax.fori_loop(
+            0, nsteps, body, (tmax_col > t_min).astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t_min", "interpret", "with_attrs", "any_hit", "K",
+                     "C", "vis_bf16", "attrs_bf16"))
+def _loop_call_jit(feats, tmax, ids, counts, mat_blk, attr_blk, *, t_min,
+                   interpret, with_attrs, any_hit, K, C, vis_bf16,
+                   attrs_bf16):
+    """v3 pallas_call: grid=(packets,), in-kernel double-buffered cluster
+    loop. Shares the one-traced-jaxpr payload-dedup property of
+    _sparse_call_jit (same shapes at every site -> one Mosaic payload per
+    variant)."""
+    tt = TRI_TILE
+    P = counts.shape[0]
+    r_pad = feats.shape[0]
+
+    common_in = [
+        pl.BlockSpec((RAY_TILE, FEAT), lambda i, ids, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_TILE, 1), lambda i, ids, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # blocked trimat48 in HBM
+    ]
+    mat_scratch = [
+        pltpu.VMEM((2, C, 3 * FEAT, 4 * tt), mat_blk.dtype),
+        pltpu.SemaphoreType.DMA((2, C)),
+    ]
+
+    if any_hit:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(P,),
+            in_specs=common_in,
+            out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i, ids, cnt: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=mat_scratch,
+        )
+        return pl.pallas_call(
+            functools.partial(_loop_anyhit_kernel, t_min=t_min, tt=tt,
+                              kk=K, cps=C, vis_bf16=vis_bf16),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            interpret=interpret,
+        )(ids, counts, feats, tmax, mat_blk)
+
+    args = [ids, counts, feats, tmax, mat_blk]
+    scratch = list(mat_scratch)
+    out_specs = [
+        pl.BlockSpec((RAY_TILE, 4), lambda i, ids, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RAY_TILE, 1), lambda i, ids, cnt: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((r_pad, 4), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+    ]
+    if with_attrs:
+        common_in.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(attr_blk)
+        out_specs.append(
+            pl.BlockSpec((RAY_TILE, ATTR), lambda i, ids, cnt: (i, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((r_pad, ATTR), jnp.float32))
+        scratch += [
+            pltpu.VMEM((2, C, ATTR, tt), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, C)),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P,),
+        in_specs=common_in,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        functools.partial(_loop_closest_kernel, t_min=t_min, tt=tt, kk=K,
+                          cps=C, with_attrs=with_attrs,
+                          attrs_bf16=attrs_bf16,
+                          approx_div=APPROX_DIV and not interpret),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+
+# v3 loop tracer on by default; FLASH_LOOP=0 falls back to the v2
+# rectangular grid (kept as the A/B + interpret-mode oracle)
+USE_LOOP_TRACER = _os.environ.get("FLASH_LOOP", "1") == "1"
+
+
 # per-call budget on scalar-prefetch entries (SMEM is ~1 MB); calls with
 # more packets x K than this are split into packet chunks
 _SMEM_ENTRY_BUDGET = 120_000
 
 # clusters processed per grid step: amortizes per-step scalar/branch
-# overhead while keeping culling granularity = TRI_TILE
-CLUSTERS_PER_STEP = int(_os.environ.get("FLASH_CPS", "2"))
+# overhead while keeping culling granularity = TRI_TILE. Measured r4
+# (shadows_test 1080p primaries/shadow/AO): v2 grid best at C=2; v3
+# in-kernel loop best at C=1 (C=2 regressed 118->191 ms closest — the
+# wider concat + dual DMA waits inside the fori_loop cost more than the
+# halved step count saved).
+_CPS_ENV = _os.environ.get("FLASH_CPS")
+CLUSTERS_PER_STEP = (int(_CPS_ENV) if _CPS_ENV
+                     else (1 if USE_LOOP_TRACER else 2))
 
 # drop per-step vector->scalar syncs (in-kernel packet box test and
 # improvement gating); the prepass lists already cull statically
@@ -848,6 +1185,12 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
     through one inner jit reuses a single traced jaxpr — identical
     payload bytes at every site, compiled once (measured r4: anyhit
     5 distinct payloads -> 1 for identical shapes)."""
+    if USE_LOOP_TRACER:
+        return _loop_call_jit(
+            feats, tmax, ids, counts, fs.trimat48_blk, fs.attrs_blk,
+            t_min=t_min, interpret=interpret, with_attrs=with_attrs,
+            any_hit=any_hit, K=K, C=C, vis_bf16=vis_bf16,
+            attrs_bf16=bool(fs.attrs_bf16_safe))
     return _sparse_call_jit(
         feats, tmax, ids, counts, fs.cluster_box, fs.trimat48, fs.attrs,
         t_min=t_min, interpret=interpret, with_attrs=with_attrs,

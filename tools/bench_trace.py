@@ -97,7 +97,9 @@ def main():
         print(f"{name}: {ms:.1f} ms  ({H*W/ms/1e3:.1f} Mrays/s)", flush=True)
 
     # AO-style rays: cosine hemisphere at primary hits (the most
-    # incoherent screen trace; informs AOConfig.sample_granularity)
+    # incoherent screen trace). The 8x8-block shared-sample variant was
+    # measured 100x SLOWER (14.4 s, r4) and the config knob was deleted;
+    # kept here as the negative-result record.
     from hybrid_rendering_tpu.ops import brdf as brdf_ops
     from hybrid_rendering_tpu.ops import bluenoise
 
