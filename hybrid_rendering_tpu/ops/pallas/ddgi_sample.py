@@ -398,15 +398,53 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
     return kernel
 
 
+# fixed tile-count quantum per pallas_call: every sampler dispatch in a
+# frame is padded to a multiple of CHUNK_TILES tiles so all call sites
+# (gi sample pass, reflections DDGI approx, probe-update bounce, each
+# rescue pass) share ONE Mosaic payload. Measured r4 at 1080p: each
+# distinct ntiles lowered its own payload at 52-80 s remote compile and
+# the frame had 4+ distinct shapes — the DDGI path alone was ~375 s of
+# the ~480 s frame compile (the bench watchdog fired before the headline
+# landed). Padded tiles window at base 0 and their outputs are sliced off.
+CHUNK_TILES = int(_os.environ.get("DDGI_CHUNK_TILES", "128"))
+
+
+def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
+                  grid_start, grid_step, cfg_vals, irr_side, dep_side,
+                  interpret, tile=TILE_PTS, atlas_vmem=False):
+    """Chunked dispatch wrapper around the single-payload pallas_call."""
+    n_pts = pts.shape[0]
+    ntiles = n_pts // tile
+    p2 = 1 << max(0, ntiles - 1).bit_length()
+    chunk = max(1, min(CHUNK_TILES, p2))
+    nt_pad = -(-ntiles // chunk) * chunk
+    if nt_pad != ntiles:
+        bases = jnp.pad(bases, (0, nt_pad - ntiles))
+        pts = jnp.pad(pts, ((0, (nt_pad - ntiles) * tile), (0, 0)))
+    kw = dict(grid_counts=grid_counts, grid_start=grid_start,
+              grid_step=grid_step, cfg_vals=cfg_vals, irr_side=irr_side,
+              dep_side=dep_side, interpret=interpret, tile=tile,
+              atlas_vmem=atlas_vmem)
+    outs = [
+        _sample_tiles_call(bases[t0:t0 + chunk],
+                           pts[t0 * tile:(t0 + chunk) * tile],
+                           irr_flat, dep_flat, icol, dcol, **kw)
+        for t0 in range(0, nt_pad, chunk)
+    ]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return out[:n_pts]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("grid_counts", "grid_start", "grid_step",
                      "cfg_vals", "irr_side", "dep_side", "interpret",
                      "tile", "atlas_vmem"),
 )
-def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
-                  grid_start, grid_step, cfg_vals, irr_side, dep_side,
-                  interpret, tile=TILE_PTS, atlas_vmem=False):
+def _sample_tiles_call(bases, pts, irr_flat, dep_flat, icol, dcol, *,
+                       grid_counts, grid_start, grid_step, cfg_vals,
+                       irr_side, dep_side, interpret, tile=TILE_PTS,
+                       atlas_vmem=False):
     ntiles = pts.shape[0] // tile
     IRR_LANES = irr_flat.shape[-1]
     DEP_LANES = dep_flat.shape[-1]
