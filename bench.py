@@ -99,25 +99,37 @@ def _build(scene_name, W, H, *, sh=True, ao=True, rf=True, gi=True,
     return r, light, camkw
 
 
+_SYNC_JIT = None
+
+
 def _sync(x) -> float:
     """Force completion of x's dependency chain and return a scalar.
 
     block_until_ready() is a NO-OP on the remote-TPU tunnel platform
     (measured round 4: 10 dispatched frames "completed" in 0.3 ms), so
     every timing must drain the queue through an actual value fetch. A
-    jitted scalar reduction keeps the host transfer to 4 bytes. Accepts
-    any pytree (sums all float-castable leaves)."""
+    jitted scalar reduction keeps the host transfer to 4 bytes.
+
+    The reduction jit MUST be cached at module level: a fresh lambda per
+    call is a new jax cache entry, i.e. a full remote recompile (~470 ms
+    measured r4) silently folded into every timing — at iters=5 that
+    inflated every per-iter number by ~94 ms and the r4 headline by
+    ~47 ms/frame. Sums the first element of ONE leaf: completion of any
+    output of the final dispatch implies the whole chain drained
+    (XLA program order)."""
     import jax
     import jax.numpy as jnp
 
+    global _SYNC_JIT
+    if _SYNC_JIT is None:
+        _SYNC_JIT = jax.jit(lambda v: jnp.sum(v.ravel()[:1]
+                                              .astype(jnp.float32)))
     leaves = [v for v in jax.tree_util.tree_leaves(x)
               if hasattr(v, "dtype")]
-    return float(np.asarray(jax.jit(
-        lambda xs: sum(jnp.sum(v.astype(jnp.float32)) for v in xs)
-    )(leaves)))
+    return float(np.asarray(_SYNC_JIT(leaves[-1])))
 
 
-def _time_frames(r, light, camkw, iters=10, keep_state=False):
+def _time_frames(r, light, camkw, iters=20, keep_state=False):
     import jax
 
     step = jax.jit(r.render_frame, donate_argnums=(0,))
@@ -216,7 +228,7 @@ def main():
         from hybrid_rendering_tpu.utils.passbench import time_passes
 
         detail["passes_ms"] = time_passes(
-            r, live_state, live_cam, live_light, sync=_sync, iters=5,
+            r, live_state, live_cam, live_light, sync=_sync, iters=10,
             budget_left=lambda: _budget_left(90.0))
         _emit(_result)  # checkpoint
     except Exception as e:  # noqa: BLE001

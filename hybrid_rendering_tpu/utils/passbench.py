@@ -33,11 +33,18 @@ from hybrid_rendering_tpu.models import (
 from hybrid_rendering_tpu.ops import filters as filters_mod
 
 
+_SYNC_JIT = None
+
+
 def _default_sync(x) -> float:
+    # cached reduction jit: a fresh lambda per call would recompile on
+    # the remote tunnel (~470 ms) inside every timing (bench.py _sync, r4)
+    global _SYNC_JIT
+    if _SYNC_JIT is None:
+        _SYNC_JIT = jax.jit(
+            lambda v: jnp.sum(v.ravel()[:1].astype(jnp.float32)))
     leaves = [v for v in jax.tree_util.tree_leaves(x) if hasattr(v, "dtype")]
-    return float(jax.jit(
-        lambda xs: sum(jnp.sum(v.astype(jnp.float32)) for v in xs))(
-            leaves).block_until_ready())
+    return float(_SYNC_JIT(leaves[-1]).block_until_ready())
 
 
 def time_passes(r, state, camera, light, sync: Callable = _default_sync,

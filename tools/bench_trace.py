@@ -10,16 +10,24 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+_SYNC_JIT = None
+
+
 def _sync(out):
     """block_until_ready is a NO-OP on the remote tunnel; drain through a
-    4-byte scalar fetch (see bench.py _sync)."""
+    4-byte scalar fetch. The reduction jit is cached at module level — a
+    fresh lambda per call meant a ~470 ms remote recompile inside every
+    timing (see bench.py _sync, r4)."""
+    global _SYNC_JIT
     import jax
     import jax.numpy as jnp
 
+    if _SYNC_JIT is None:
+        _SYNC_JIT = jax.jit(
+            lambda v: jnp.sum(v.ravel()[:1].astype(jnp.float32)))
     leaves = [x for x in jax.tree_util.tree_leaves(out)
               if hasattr(x, "dtype")]
-    return float(np.asarray(jax.jit(
-        lambda xs: sum(jnp.sum(x.astype(jnp.float32)) for x in xs))(leaves)))
+    return float(np.asarray(_SYNC_JIT(leaves[-1])))
 
 
 def timeit(fn, *args, iters=5):
@@ -64,12 +72,15 @@ def main():
     print(f"primary packets: clusters/packet mean={c.mean():.2f} "
           f"max={c.max()} of {fs.num_tri_tiles}", flush=True)
 
+    skip_v1 = os.environ.get("BT_SKIP_V1", "0") == "1"
     for name, fn in [
         ("closest_attrs v1", lambda oo, dd, t: ft.flash_closest_hit_attrs(
             fs, oo, dd, t)),
         ("closest_attrs v2", lambda oo, dd, t:
             ft.flash_closest_hit_attrs_sparse(fs, oo, dd, t)),
     ]:
+        if skip_v1 and "v1" in name:
+            continue
         ms = timeit(jax.jit(fn), o, d, tm)
         print(f"{name}: {ms:.1f} ms  ({H*W/ms/1e3:.1f} Mrays/s)", flush=True)
 
@@ -93,6 +104,8 @@ def main():
         ("visibility v2", lambda oo, dd, t: ft.flash_visibility_sparse(
             fs, oo, dd, t)),
     ]:
+        if skip_v1 and "v1" in name:
+            continue
         ms = timeit(jax.jit(fn), so, ldir, stm)
         print(f"{name}: {ms:.1f} ms  ({H*W/ms/1e3:.1f} Mrays/s)", flush=True)
 
@@ -107,7 +120,8 @@ def main():
         (hit.tri_id >= 0)[:, None], attrs[:, 0:3], jnp.zeros((1, 3)))
     nn = n_img / jnp.maximum(
         jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-6)
-    for gran, label in ((1, "per-pixel"), (8, "8x8-block")):
+    for gran, label in (((1, "per-pixel"),) if skip_v1
+                        else ((1, "per-pixel"), (8, "8x8-block"))):
         hh, ww = H // gran, W // gran
         u, v = bluenoise.sample2d_grid(hh, ww, 0, dim=1)
         u = jnp.repeat(jnp.repeat(u, gran, 0), gran, 1).reshape(-1)
@@ -128,6 +142,8 @@ def main():
               flush=True)
 
     # correctness spot-check v1 vs v2 on device
+    if skip_v1:
+        return
     h1 = jax.jit(lambda oo, dd, t: ft.flash_closest_hit(fs, oo, dd, t))(
         o, d, tm)
     same = (np.asarray(h1.tri_id) == np.asarray(hit.tri_id)).mean()
