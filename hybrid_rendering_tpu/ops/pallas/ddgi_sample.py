@@ -414,7 +414,16 @@ def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
                   interpret, tile=TILE_PTS, atlas_vmem=False):
     """Chunked dispatch wrapper around the single-payload pallas_call."""
     n_pts = pts.shape[0]
+    assert n_pts >= tile and n_pts % tile == 0, (
+        f"_sample_tiles needs tile-multiple n_pts (got {n_pts}, "
+        f"tile {tile}); make_fast_sampler pads its inputs")
     ntiles = n_pts // tile
+    # power-of-two pad quantum: worst case wastes ~2x kernel work just
+    # above a power of two (ntiles=65 -> 128), a DELIBERATE trade — each
+    # distinct chunk size is a distinct Mosaic payload at 52-80 s remote
+    # compile (r4 measurement above), and padded tiles window at base 0
+    # (pure VMEM re-reads, no extra HBM traffic), so compile count wins
+    # over compute waste at every size we ship
     p2 = 1 << max(0, ntiles - 1).bit_length()
     chunk = max(1, min(CHUNK_TILES, p2))
     nt_pad = -(-ntiles // chunk) * chunk

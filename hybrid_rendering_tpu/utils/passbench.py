@@ -44,6 +44,8 @@ def _default_sync(x) -> float:
         _SYNC_JIT = jax.jit(
             lambda v: jnp.sum(v.ravel()[:1].astype(jnp.float32)))
     leaves = [v for v in jax.tree_util.tree_leaves(x) if hasattr(v, "dtype")]
+    if not leaves:
+        return 0.0
     return float(_SYNC_JIT(leaves[-1]).block_until_ready())
 
 

@@ -27,6 +27,8 @@ def _sync(out):
             lambda v: jnp.sum(v.ravel()[:1].astype(jnp.float32)))
     leaves = [x for x in jax.tree_util.tree_leaves(out)
               if hasattr(x, "dtype")]
+    if not leaves:
+        return 0.0
     return float(np.asarray(_SYNC_JIT(leaves[-1])))
 
 
