@@ -462,8 +462,12 @@ def packet_cluster_order(fs: FlashScene, origin, direction, t_max,
     """Conservative packet->cluster culling (XLA prepass): the full
     near-sorted candidate ranking. Returns (order (P, NTT) int32 cluster
     ids sorted by entry-distance lower bound, raw_counts (P,) int32 of
-    geometrically-hittable clusters). `_round_lists` slices rank windows
-    [r*K, (r+1)*K) out of this for the exact multi-round tracer."""
+    geometrically-hittable clusters, entry_sorted (P, NTT) f32 the
+    entry-distance lower bounds in rank order — the v4 in-kernel
+    early-exit reads these to stop a packet's cluster loop as soon as no
+    remaining cluster can beat the running best / reach a live ray).
+    `_round_lists` slices rank windows [r*K, (r+1)*K) out of this for
+    the exact multi-round tracer."""
     R = origin.shape[0]
     ntt = fs.num_tri_tiles
     P = R // RAY_TILE
@@ -511,24 +515,27 @@ def packet_cluster_order(fs: FlashScene, origin, direction, t_max,
     )
     key = jnp.where(hit, entry_t_lb, BIG_T)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (P, NTT)
+    entry_sorted = jnp.take_along_axis(key, order, axis=1)  # (P, NTT)
     raw_counts = jnp.sum(hit, axis=1).astype(jnp.int32)
-    return order, raw_counts
+    return order, raw_counts, entry_sorted
 
 
-def _round_lists(order, raw_counts, r, K):
+def _round_lists(order, entry_sorted, raw_counts, r, K):
     """Rank window [r*K, (r+1)*K) of the near-sorted cluster ranking as a
-    kernel-ready (ids (P*K,) int32, counts (P,) int32) pair. Entries past
-    a packet's live count repeat the last live cluster (same block -> no
-    extra DMA); r may be a traced scalar (the overflow-round loop)."""
+    kernel-ready (ids (P*K,) int32, entries (P*K,) f32, counts (P,)
+    int32) triple. Entries past a packet's live count repeat the last
+    live cluster (same block -> no extra DMA); r may be a traced scalar
+    (the overflow-round loop)."""
     P, NTT = order.shape
     counts = jnp.clip(raw_counts - r * K, 0, K)
     kk = jnp.arange(K, dtype=jnp.int32)[None, :]
     take = r * K + jnp.minimum(kk, jnp.maximum(counts - 1, 0)[:, None])
     take = jnp.minimum(take, NTT - 1)
     ids = jnp.take_along_axis(order, take, axis=1)
+    entries = jnp.take_along_axis(entry_sorted, take, axis=1)
     # 1-D layouts: 2-D int arrays in SMEM are lane-padded to 128 wide,
     # blowing the ~1 MB SMEM budget at screen-scale packet counts
-    return ids.reshape(-1), counts
+    return ids.reshape(-1), entries.reshape(-1), counts
 
 
 def packet_cluster_lists(fs: FlashScene, origin, direction, t_max,
@@ -542,9 +549,9 @@ def packet_cluster_lists(fs: FlashScene, origin, direction, t_max,
     re-run the SAME kernel payload over ranks [r*K, (r+1)*K))."""
     ntt = fs.num_tri_tiles
     K = int(k_list) if k_list is not None else int(min(ntt, k_cap))
-    order, raw_counts = packet_cluster_order(
+    order, raw_counts, entry_sorted = packet_cluster_order(
         fs, origin, direction, t_max, t_min=t_min)
-    ids, counts = _round_lists(order, raw_counts, 0, K)
+    ids, _, counts = _round_lists(order, entry_sorted, raw_counts, 0, K)
     return ids, counts, raw_counts
 
 
@@ -842,25 +849,46 @@ def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
 
 
 # ---------------------------------------------------------------------
-# v3: in-kernel cluster loop. v2's rectangular grid (P, K/C) pays a fixed
-# ~1.4 us of Mosaic per grid STEP whether or not the step is live — at a
-# measured 2.65 mean clusters/packet against K=20 (shadows_test primaries)
-# ~75% of steps were dead, and the sweep showed anyhit (113 ms) ~ closest
-# (127 ms) despite wildly different epilogues: the bound was step count,
-# not compute. Here the grid is (P,) — ONE step per packet — and each
-# packet runs exactly ceil(count/C) iterations of a fori_loop, double-
-# buffering its cluster blocks HBM->VMEM with manual DMA. Dead work
-# drops to zero, the running best lives in loop-carried registers (no
-# per-step output-ref round trips), and packets with empty lists (masked
-# rays) cost one branch.
+# v3/v4: in-kernel cluster loop. v2's rectangular grid (P, K/C) pays a
+# fixed ~1.4 us of Mosaic per grid STEP whether or not the step is live —
+# at a measured 2.65 mean clusters/packet against K=20 (shadows_test
+# primaries) ~75% of steps were dead, and the sweep showed anyhit
+# (113 ms) ~ closest (127 ms) despite wildly different epilogues: the
+# bound was step count, not compute. Here the grid is (P,) — ONE step
+# per packet — and each packet runs ceil(count/C) iterations of an
+# in-kernel loop. Dead work drops to zero, the running best lives in
+# loop-carried registers, and packets with empty lists cost one branch.
+#
+# r5 (v4) additions on top of the r4 fori_loop design:
+#  - RESIDENT mode: when the whole cluster-blocked scene fits in VMEM
+#    (NTT * 61 KB <= ~8 MB, i.e. <= ~16k triangles — every bundled scene
+#    except the hero), the trimat/attr blocks are passed as full-array
+#    VMEM operands and the loop dynamic-indexes them directly: no DMA,
+#    no semaphores, no double buffering, no per-step wait latency.
+#  - EARLY EXIT: the loop is a while_loop gated on the prepass's
+#    entry-distance lower bounds (entry_ref, rank-sorted). closest: stop
+#    when the next cluster's entry bound >= the packet's max running
+#    best t (front-to-back resolution — primaries typically resolve in
+#    the first cluster); anyhit: stop when every ray is blocked or no
+#    live ray's t_max reaches the next cluster. In DMA mode the one
+#    prefetched-but-unconsumed step is drained after the loop so its
+#    semaphore cannot leak into the next grid step.
 # ---------------------------------------------------------------------
 
 
-def _loop_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
-                         *rest, t_min, tt, kk, cps, with_attrs,
-                         attrs_bf16=False, approx_div=False):
+def _loop_closest_kernel(ids_ref, cnt_ref, entry_ref, feats_ref, tmax_ref,
+                         mat_hbm, *rest, t_min, tt, kk, cps, grp,
+                         with_attrs, attrs_bf16=False, approx_div=False,
+                         resident=False, early_exit=True):
     C = cps
-    if with_attrs:
+    if resident:
+        if with_attrs:
+            attr_hbm, best_ref, id_ref, attr_out_ref = rest
+        else:
+            best_ref, id_ref = rest
+            attr_hbm = attr_out_ref = None
+        mat_slab = sems = attr_slab = attr_sems = None
+    elif with_attrs:
         attr_hbm, best_ref, id_ref, attr_out_ref = rest[:4]
         mat_slab, sems, attr_slab, attr_sems = rest[4:]
     else:
@@ -869,23 +897,48 @@ def _loop_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
         attr_hbm = attr_slab = attr_sems = attr_out_ref = None
 
     i = pl.program_id(0)
-    cnt = cnt_ref[i]
-    nsteps = (cnt + C - 1) // C
-    tmax_col = tmax_ref[:]
+    rt = tmax_ref.shape[0] // grp  # rays per sub-packet (= RAY_TILE)
 
-    best_ref[:, 0:1] = tmax_col
+    # whole-block init (covers sub-packets whose lists are empty)
+    best_ref[:, 0:1] = tmax_ref[:]
     best_ref[:, 1:3] = jnp.zeros_like(best_ref[:, 1:3])
     id_ref[:] = jnp.full_like(id_ref[:], -1)
     if with_attrs:
         attr_out_ref[:] = jnp.zeros_like(attr_out_ref[:])
 
+    # grp sub-packets per grid step: amortizes the fixed per-grid-step
+    # Mosaic cost (~3.1 us measured r5 from the shadows-vs-AO
+    # clusters/packet regression) over grp independent cluster loops
+    # while keeping culling granularity at RAY_TILE rays
+    for g in range(grp):
+        _one_closest_packet(
+            g, rt, i * grp + g, ids_ref, cnt_ref, entry_ref, feats_ref,
+            tmax_ref, mat_hbm, attr_hbm, best_ref, id_ref, attr_out_ref,
+            mat_slab, sems, attr_slab, attr_sems,
+            t_min=t_min, tt=tt, kk=kk, C=C, with_attrs=with_attrs,
+            attrs_bf16=attrs_bf16, approx_div=approx_div,
+            resident=resident, early_exit=early_exit)
+
+
+def _one_closest_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, feats_ref,
+                        tmax_ref, mat_hbm, attr_hbm, best_ref, id_ref,
+                        attr_out_ref, mat_slab, sems, attr_slab, attr_sems,
+                        *, t_min, tt, kk, C, with_attrs, attrs_bf16,
+                        approx_div, resident, early_exit):
+    """One sub-packet's cluster loop (rows [g*rt, (g+1)*rt) of the grid
+    step's block; scalar windows at packet index p)."""
+    r0 = g * rt
+    cnt = cnt_ref[p]
+    nsteps = (cnt + C - 1) // C
+    tmax_col = tmax_ref[r0:r0 + rt]
+
     def _mat_dma(s, slot, j):
-        cid = ids_ref[i * kk + s * C + j]
+        cid = ids_ref[p * kk + s * C + j]
         return pltpu.make_async_copy(
             mat_hbm.at[cid], mat_slab.at[slot, j], sems.at[slot, j])
 
     def _attr_dma(s, slot, j):
-        cid = ids_ref[i * kk + s * C + j]
+        cid = ids_ref[p * kk + s * C + j]
         return pltpu.make_async_copy(
             attr_hbm.at[cid], attr_slab.at[slot, j], attr_sems.at[slot, j])
 
@@ -903,31 +956,46 @@ def _loop_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
 
     @pl.when(nsteps > 0)
     def _trace():
-        start(0, 0)
-        feats = feats_ref[:]
+        if not resident:
+            start(0, 0)
+        feats = feats_ref[r0:r0 + rt]
         f_hi, f_lo = _split_bf16(feats)
         f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
 
-        def body(s, carry):
-            best, gid, acc = carry
+        def cond(carry):
+            s = carry[0]
+            go = s < nsteps
+            if early_exit:
+                # entry bounds are rank-sorted: once the next cluster's
+                # entry lower bound can't beat the slowest ray's running
+                # best, no later cluster can either
+                nxt = p * kk + jnp.minimum(s, nsteps - 1) * C
+                go = go & (entry_ref[nxt] < carry[4])
+            return go
+
+        def body(carry):
+            s, best, gid, acc, _ = carry
             slot = jax.lax.rem(s, 2)
+            if resident:
+                mats = [mat_hbm[ids_ref[p * kk + s * C + j]]
+                        for j in range(C)]
+            else:
+                @pl.when(s + 1 < nsteps)
+                def _():
+                    start(s + 1, jax.lax.rem(s + 1, 2))
 
-            @pl.when(s + 1 < nsteps)
-            def _():
-                start(s + 1, jax.lax.rem(s + 1, 2))
-
-            wait(s, slot)
-            prods = [jnp.dot(f48, mat_slab[slot, j],
-                             preferred_element_type=jnp.float32)
-                     for j in range(C)]
+                wait(s, slot)
+                mats = [mat_slab[slot, j] for j in range(C)]
+            prods = [jnp.dot(f48, m, preferred_element_type=jnp.float32)
+                     for m in mats]
             det = jnp.concatenate(
-                [p[:, 0 * tt: 1 * tt] for p in prods], axis=1)
+                [pr[:, 0 * tt: 1 * tt] for pr in prods], axis=1)
             tn = jnp.concatenate(
-                [p[:, 1 * tt: 2 * tt] for p in prods], axis=1)
+                [pr[:, 1 * tt: 2 * tt] for pr in prods], axis=1)
             un = jnp.concatenate(
-                [p[:, 2 * tt: 3 * tt] for p in prods], axis=1)
+                [pr[:, 2 * tt: 3 * tt] for pr in prods], axis=1)
             vn = jnp.concatenate(
-                [p[:, 3 * tt: 4 * tt] for p in prods], axis=1)
+                [pr[:, 3 * tt: 4 * tt] for pr in prods], axis=1)
             best_t = best[:, 0:1]
             valid, st, adet, su, sv = _numerator_accept(
                 det, tn, un, vn, t_min, best_t)
@@ -953,22 +1021,27 @@ def _loop_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
 
             inv = 1.0 / jnp.maximum(pick(adet), 1e-30)
             win_t = pick(st) * inv if approx_div else tile_min
-            g = first
+            gcol = first
             for j in range(C):
-                c_j = ids_ref[i * kk + s * C + j]
+                c_j = ids_ref[p * kk + s * C + j]
                 in_j = (first >= j * tt) & (first < (j + 1) * tt)
-                g = jnp.where(in_j, first + (c_j - j) * tt, g)
+                gcol = jnp.where(in_j, first + (c_j - j) * tt, gcol)
             new_best = jnp.concatenate([
                 jnp.where(improved, win_t, best_t),
                 jnp.where(improved, pick(su) * inv, best[:, 1:2]),
                 jnp.where(improved, pick(sv) * inv, best[:, 2:3]),
             ], axis=1)
-            new_gid = jnp.where(improved, g, gid)
+            new_gid = jnp.where(improved, gcol, gid)
             if with_attrs:
                 # transposed layout: attr_cat is (ATTR, C*tt); contract
                 # both operands on the tt axis (N-T matmul on the MXU)
-                attr_cat = jnp.concatenate(
-                    [attr_slab[slot, j] for j in range(C)], axis=1)
+                if resident:
+                    attr_cat = jnp.concatenate(
+                        [attr_hbm[ids_ref[p * kk + s * C + j]]
+                         for j in range(C)], axis=1)
+                else:
+                    attr_cat = jnp.concatenate(
+                        [attr_slab[slot, j] for j in range(C)], axis=1)
                 sel_f = jnp.where(sel, 1.0, 0.0)
                 if attrs_bf16:
                     attr_sel = jax.lax.dot_general(
@@ -981,35 +1054,64 @@ def _loop_closest_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
                         sel_f, attr_cat, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 acc = jnp.where(improved, attr_sel, acc)
-            return new_best, new_gid, acc
+            best_max = (jnp.max(new_best[:, 0]) if early_exit
+                        else jnp.float32(0.0))
+            return s + 1, new_best, new_gid, acc, best_max
 
         init = (
+            jnp.int32(0),
             jnp.concatenate(
-                [tmax_col, jnp.zeros((tmax_col.shape[0], 2), jnp.float32)],
-                axis=1),
-            jnp.full((tmax_col.shape[0], 1), -1, jnp.int32),
-            (jnp.zeros((tmax_col.shape[0], ATTR), jnp.float32)
+                [tmax_col, jnp.zeros((rt, 2), jnp.float32)], axis=1),
+            jnp.full((rt, 1), -1, jnp.int32),
+            (jnp.zeros((rt, ATTR), jnp.float32)
              if with_attrs else jnp.zeros((1, 1), jnp.float32)),
+            jnp.max(tmax_col) if early_exit else jnp.float32(0.0),
         )
-        best, gid, acc = jax.lax.fori_loop(0, nsteps, body, init)
-        best_ref[:, 0:3] = best
-        id_ref[:] = gid
+        s_end, best, gid, acc, _ = jax.lax.while_loop(cond, body, init)
+        if not resident and early_exit:
+            # an early exit leaves step s_end prefetched but unconsumed;
+            # drain it so the slot's semaphore can't leak into the next
+            # sub-packet's wait
+            @pl.when(s_end < nsteps)
+            def _drain():
+                wait(s_end, jax.lax.rem(s_end, 2))
+        best_ref[r0:r0 + rt, 0:3] = best
+        id_ref[r0:r0 + rt] = gid
         if with_attrs:
-            attr_out_ref[:] = acc
+            attr_out_ref[r0:r0 + rt] = acc
 
 
-def _loop_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
-                        vis_ref, mat_slab, sems, *, t_min, tt, kk, cps,
-                        vis_bf16=None):
+def _loop_anyhit_kernel(ids_ref, cnt_ref, entry_ref, feats_ref, tmax_ref,
+                        mat_hbm, vis_ref, *scratch, t_min, tt, kk, cps,
+                        grp, vis_bf16=None, resident=False,
+                        early_exit=True):
     C = cps
+    if resident:
+        mat_slab = sems = None
+    else:
+        mat_slab, sems = scratch
     i = pl.program_id(0)
-    cnt = cnt_ref[i]
+    rt = tmax_ref.shape[0] // grp
+    vis_ref[:] = (tmax_ref[:] > t_min).astype(jnp.int32)
+
+    for g in range(grp):
+        _one_anyhit_packet(
+            g, rt, i * grp + g, ids_ref, cnt_ref, entry_ref, feats_ref,
+            tmax_ref, mat_hbm, vis_ref, mat_slab, sems,
+            t_min=t_min, tt=tt, kk=kk, C=C, vis_bf16=vis_bf16,
+            resident=resident, early_exit=early_exit)
+
+
+def _one_anyhit_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, feats_ref,
+                       tmax_ref, mat_hbm, vis_ref, mat_slab, sems, *,
+                       t_min, tt, kk, C, vis_bf16, resident, early_exit):
+    r0 = g * rt
+    cnt = cnt_ref[p]
     nsteps = (cnt + C - 1) // C
-    tmax_col = tmax_ref[:]
-    vis_ref[:] = (tmax_col > t_min).astype(jnp.int32)
+    tmax_col = tmax_ref[r0:r0 + rt]
 
     def _mat_dma(s, slot, j):
-        cid = ids_ref[i * kk + s * C + j]
+        cid = ids_ref[p * kk + s * C + j]
         return pltpu.make_async_copy(
             mat_hbm.at[cid], mat_slab.at[slot, j], sems.at[slot, j])
 
@@ -1021,101 +1123,143 @@ def _loop_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, mat_hbm,
 
     @pl.when(nsteps > 0)
     def _trace():
-        start(0, 0)
-        feats = feats_ref[:]
+        if not resident:
+            start(0, 0)
+        feats = feats_ref[r0:r0 + rt]
         if bf16:
             f48 = feats.astype(jnp.bfloat16)
         else:
             f_hi, f_lo = _split_bf16(feats)
             f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
 
-        def body(s, vis):
+        def cond(carry):
+            s, _, maxrem = carry
+            go = s < nsteps
+            if early_exit:
+                # stop when every ray is blocked (maxrem 0) or no live
+                # ray's budget reaches the next cluster's entry bound
+                nxt = p * kk + jnp.minimum(s, nsteps - 1) * C
+                go = go & (maxrem > t_min) & (entry_ref[nxt] < maxrem)
+            return go
+
+        def body(carry):
+            s, vis, _ = carry
             slot = jax.lax.rem(s, 2)
+            if resident:
+                mats = [mat_hbm[ids_ref[p * kk + s * C + j]]
+                        for j in range(C)]
+            else:
+                @pl.when(s + 1 < nsteps)
+                def _():
+                    start(s + 1, jax.lax.rem(s + 1, 2))
 
-            @pl.when(s + 1 < nsteps)
-            def _():
-                start(s + 1, jax.lax.rem(s + 1, 2))
-
-            for j in range(C):
-                _mat_dma(s, slot, j).wait()
+                for j in range(C):
+                    _mat_dma(s, slot, j).wait()
+                mats = [mat_slab[slot, j] for j in range(C)]
             if bf16:
-                prods = [jnp.dot(f48, mat_slab[slot, j][:FEAT, :],
+                prods = [jnp.dot(f48, m[:FEAT, :],
                                  preferred_element_type=jnp.float32)
-                         for j in range(C)]
+                         for m in mats]
                 slop = EDGE_SLOP_VIS
             else:
-                prods = [jnp.dot(f48, mat_slab[slot, j],
+                prods = [jnp.dot(f48, m,
                                  preferred_element_type=jnp.float32)
-                         for j in range(C)]
+                         for m in mats]
                 slop = EDGE_SLOP
             det = jnp.concatenate(
-                [p[:, 0 * tt: 1 * tt] for p in prods], axis=1)
+                [pr[:, 0 * tt: 1 * tt] for pr in prods], axis=1)
             tn = jnp.concatenate(
-                [p[:, 1 * tt: 2 * tt] for p in prods], axis=1)
+                [pr[:, 1 * tt: 2 * tt] for pr in prods], axis=1)
             un = jnp.concatenate(
-                [p[:, 2 * tt: 3 * tt] for p in prods], axis=1)
+                [pr[:, 2 * tt: 3 * tt] for pr in prods], axis=1)
             vn = jnp.concatenate(
-                [p[:, 3 * tt: 4 * tt] for p in prods], axis=1)
+                [pr[:, 3 * tt: 4 * tt] for pr in prods], axis=1)
             valid, _, _, _, _ = _numerator_accept(
                 det, tn, un, vn, t_min, tmax_col, slop=slop)
             blocked = jnp.max(valid.astype(jnp.int32), axis=1,
                               keepdims=True)
-            return vis * (1 - blocked)
+            vis = vis * (1 - blocked)
+            if early_exit:
+                maxrem = jnp.max(tmax_col * vis.astype(jnp.float32))
+            else:
+                maxrem = jnp.float32(0.0)
+            return s + 1, vis, maxrem
 
-        vis_ref[:] = jax.lax.fori_loop(
-            0, nsteps, body, (tmax_col > t_min).astype(jnp.int32))
+        vis0 = (tmax_col > t_min).astype(jnp.int32)
+        init = (
+            jnp.int32(0), vis0,
+            (jnp.max(tmax_col * vis0.astype(jnp.float32))
+             if early_exit else jnp.float32(0.0)),
+        )
+        s_end, vis, _ = jax.lax.while_loop(cond, body, init)
+        if not resident and early_exit:
+            @pl.when(s_end < nsteps)
+            def _drain():
+                for j in range(C):
+                    _mat_dma(s_end, jax.lax.rem(s_end, 2), j).wait()
+        vis_ref[r0:r0 + rt] = vis
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("t_min", "interpret", "with_attrs", "any_hit", "K",
-                     "C", "vis_bf16", "attrs_bf16"))
-def _loop_call_jit(feats, tmax, ids, counts, mat_blk, attr_blk, *, t_min,
-                   interpret, with_attrs, any_hit, K, C, vis_bf16,
-                   attrs_bf16):
-    """v3 pallas_call: grid=(packets,), in-kernel double-buffered cluster
-    loop. Shares the one-traced-jaxpr payload-dedup property of
-    _sparse_call_jit (same shapes at every site -> one Mosaic payload per
-    variant)."""
+                     "C", "vis_bf16", "attrs_bf16", "resident",
+                     "early_exit", "grp"))
+def _loop_call_jit(feats, tmax, ids, counts, entries, mat_blk, attr_blk,
+                   *, t_min, interpret, with_attrs, any_hit, K, C,
+                   vis_bf16, attrs_bf16, resident, early_exit, grp):
+    """v3/v4 pallas_call: grid=(packet groups,), in-kernel cluster loops
+    (see the kernel block comment: resident = whole scene as full-VMEM
+    operands, else double-buffered DMA; early_exit = entry-bound-gated
+    while_loop; GROUP sub-packets per grid step amortize the fixed
+    per-grid-step cost). Shares the one-traced-jaxpr payload-dedup
+    property of _sparse_call_jit (same shapes at every site -> one
+    Mosaic payload per variant)."""
     tt = TRI_TILE
     P = counts.shape[0]
     r_pad = feats.shape[0]
 
     common_in = [
-        pl.BlockSpec((RAY_TILE, FEAT), lambda i, ids, cnt: (i, 0),
+        pl.BlockSpec((grp * RAY_TILE, FEAT),
+                     lambda i, ids, cnt, ent: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((RAY_TILE, 1), lambda i, ids, cnt: (i, 0),
+        pl.BlockSpec((grp * RAY_TILE, 1), lambda i, ids, cnt, ent: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # blocked trimat48 in HBM
+        # blocked trimat48: whole-array VMEM when resident, HBM + manual
+        # DMA otherwise
+        (pl.BlockSpec(memory_space=pltpu.VMEM) if resident
+         else pl.BlockSpec(memory_space=pltpu.ANY)),
     ]
-    mat_scratch = [
+    mat_scratch = [] if resident else [
         pltpu.VMEM((2, C, 3 * FEAT, 4 * tt), mat_blk.dtype),
         pltpu.SemaphoreType.DMA((2, C)),
     ]
 
     if any_hit:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(P,),
+            num_scalar_prefetch=3,
+            grid=(P // grp,),
             in_specs=common_in,
-            out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i, ids, cnt: (i, 0),
+            out_specs=pl.BlockSpec((grp * RAY_TILE, 1),
+                                   lambda i, ids, cnt, ent: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=mat_scratch,
         )
         return pl.pallas_call(
             functools.partial(_loop_anyhit_kernel, t_min=t_min, tt=tt,
-                              kk=K, cps=C, vis_bf16=vis_bf16),
+                              kk=K, cps=C, grp=grp, vis_bf16=vis_bf16,
+                              resident=resident, early_exit=early_exit),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
             interpret=interpret,
-        )(ids, counts, feats, tmax, mat_blk)
+        )(ids, counts, entries, feats, tmax, mat_blk)
 
-    args = [ids, counts, feats, tmax, mat_blk]
+    args = [ids, counts, entries, feats, tmax, mat_blk]
     scratch = list(mat_scratch)
     out_specs = [
-        pl.BlockSpec((RAY_TILE, 4), lambda i, ids, cnt: (i, 0),
+        pl.BlockSpec((grp * RAY_TILE, 4), lambda i, ids, cnt, ent: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((RAY_TILE, 1), lambda i, ids, cnt: (i, 0),
+        pl.BlockSpec((grp * RAY_TILE, 1), lambda i, ids, cnt, ent: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -1123,29 +1267,34 @@ def _loop_call_jit(feats, tmax, ids, counts, mat_blk, attr_blk, *, t_min,
         jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
     ]
     if with_attrs:
-        common_in.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        common_in.append(
+            pl.BlockSpec(memory_space=pltpu.VMEM) if resident
+            else pl.BlockSpec(memory_space=pltpu.ANY))
         args.append(attr_blk)
         out_specs.append(
-            pl.BlockSpec((RAY_TILE, ATTR), lambda i, ids, cnt: (i, 0),
+            pl.BlockSpec((grp * RAY_TILE, ATTR),
+                         lambda i, ids, cnt, ent: (i, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((r_pad, ATTR), jnp.float32))
-        scratch += [
-            pltpu.VMEM((2, C, ATTR, tt), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, C)),
-        ]
+        if not resident:
+            scratch += [
+                pltpu.VMEM((2, C, ATTR, tt), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, C)),
+            ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(P,),
+        num_scalar_prefetch=3,
+        grid=(P // grp,),
         in_specs=common_in,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
         functools.partial(_loop_closest_kernel, t_min=t_min, tt=tt, kk=K,
-                          cps=C, with_attrs=with_attrs,
+                          cps=C, grp=grp, with_attrs=with_attrs,
                           attrs_bf16=attrs_bf16,
-                          approx_div=APPROX_DIV and not interpret),
+                          approx_div=APPROX_DIV and not interpret,
+                          resident=resident, early_exit=early_exit),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -1175,9 +1324,30 @@ CLUSTERS_PER_STEP = (int(_CPS_ENV) if _CPS_ENV
 # improvement gating); the prepass lists already cull statically
 SYNC_FREE = _os.environ.get("FLASH_SYNC_FREE", "1") == "1"
 
+# v4 knobs: resident mode engages automatically when the cluster-blocked
+# scene data fits this VMEM budget (default 8 MB of the 16 MB VMEM,
+# leaving room for ray blocks, accept planes, and outputs); early exit
+# defaults on (it is exact — entry bounds are conservative lower bounds)
+RESIDENT_LIMIT = int(float(_os.environ.get("FLASH_RESIDENT_MB", "8"))
+                     * 2**20)
+EARLY_EXIT = _os.environ.get("FLASH_EARLY_EXIT", "1") == "1"
+# sub-packets per grid step: the r5 baseline regression (shadows 1.78
+# clusters/pkt @ 3.9 us/pkt vs AO 4.98 @ 5.3) puts the fixed per-grid-
+# step cost at ~3.1 us vs ~0.44 us per cluster step — grouping divides
+# the fixed term by GROUP while keeping 256-ray culling granularity
+GROUP = int(_os.environ.get("FLASH_GROUP", "8"))
 
-def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
-                 any_hit, K, C, vis_bf16=None):
+
+def _resident_bytes(fs: FlashScene, with_attrs: bool) -> int:
+    ntt, tt = fs.num_tri_tiles, TRI_TILE
+    b = ntt * 3 * FEAT * 4 * tt * 2  # trimat48_blk bf16
+    if with_attrs:
+        b += ntt * ATTR * tt * 4  # attrs_blk f32
+    return b
+
+
+def _sparse_call(fs, feats, tmax, ids, counts, entries, t_min, interpret,
+                 with_attrs, any_hit, K, C, vis_bf16=None):
     """Shape-cached jit wrapper around the pallas_call: the serialized
     Mosaic payload embeds the tracing call stack's source locations, so
     tracing the kernel at N sites produced N byte-distinct payloads that
@@ -1186,11 +1356,16 @@ def _sparse_call(fs, feats, tmax, ids, counts, t_min, interpret, with_attrs,
     payload bytes at every site, compiled once (measured r4: anyhit
     5 distinct payloads -> 1 for identical shapes)."""
     if USE_LOOP_TRACER:
+        import math
+
+        resident = _resident_bytes(fs, with_attrs) <= RESIDENT_LIMIT
         return _loop_call_jit(
-            feats, tmax, ids, counts, fs.trimat48_blk, fs.attrs_blk,
-            t_min=t_min, interpret=interpret, with_attrs=with_attrs,
-            any_hit=any_hit, K=K, C=C, vis_bf16=vis_bf16,
-            attrs_bf16=bool(fs.attrs_bf16_safe))
+            feats, tmax, ids, counts, entries, fs.trimat48_blk,
+            fs.attrs_blk, t_min=t_min, interpret=interpret,
+            with_attrs=with_attrs, any_hit=any_hit, K=K, C=C,
+            vis_bf16=vis_bf16, attrs_bf16=bool(fs.attrs_bf16_safe),
+            resident=resident, early_exit=EARLY_EXIT,
+            grp=math.gcd(GROUP, counts.shape[0]))
     return _sparse_call_jit(
         feats, tmax, ids, counts, fs.cluster_box, fs.trimat48, fs.attrs,
         t_min=t_min, interpret=interpret, with_attrs=with_attrs,
@@ -1318,9 +1493,10 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
     K = max(C, -(-min(fs.num_tri_tiles, k_cap) // C) * C)
 
     # chunk size: the shared quantum, bounded by the SMEM prefetch budget
-    # and (for sub-quantum calls, e.g. tests) the call's own size
+    # (ids + entry bounds = 2 scalar arrays of P*K each) and (for
+    # sub-quantum calls, e.g. tests) the call's own size
     P0 = max(1, -(-R // RAY_TILE))
-    chunk_p = max(1, min(CHUNK_P, _SMEM_ENTRY_BUDGET // K,
+    chunk_p = max(1, min(CHUNK_P, _SMEM_ENTRY_BUDGET // (2 * K),
                          1 << (P0 - 1).bit_length()))
     P = -(-P0 // chunk_p) * chunk_p
     r_pad = P * RAY_TILE
@@ -1334,10 +1510,10 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))[:, None],
         r_pad,
     )
-    order, raw_counts = packet_cluster_order(
+    order, raw_counts, entry_sorted = packet_cluster_order(
         fs, origin_p, direction_p, tmax[:, 0], t_min=t_min)
 
-    def run(ids, counts, tmax_col):
+    def run(ids, entries, counts, tmax_col):
         """One round of chunked kernel calls on the padded wavefront."""
         chunks = []
         for p0 in range(0, P, chunk_p):
@@ -1345,8 +1521,8 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
             sl = slice(p0 * RAY_TILE, p1 * RAY_TILE)
             chunks.append(_sparse_call(
                 fs, feats[sl], tmax_col[sl], ids[p0 * K : p1 * K],
-                counts[p0:p1], t_min, interpret, with_attrs, any_hit, K, C,
-                vis_bf16=vis_bf16))
+                counts[p0:p1], entries[p0 * K : p1 * K], t_min, interpret,
+                with_attrs, any_hit, K, C, vis_bf16=vis_bf16))
         if any_hit:
             vis = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
             return vis[:, 0].astype(jnp.float32)  # (r_pad,)
@@ -1354,8 +1530,9 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
             return list(chunks[0])
         return [jnp.concatenate(parts) for parts in zip(*chunks)]
 
-    ids0, counts0 = _round_lists(order, raw_counts, 0, K)
-    out = run(ids0, counts0, tmax)
+    ids0, entries0, counts0 = _round_lists(
+        order, entry_sorted, raw_counts, 0, K)
+    out = run(ids0, entries0, counts0, tmax)
 
     n_rounds = -(-fs.num_tri_tiles // K)
     rounds = OVERFLOW_ROUNDS and K < fs.num_tri_tiles and n_rounds > 1
@@ -1369,9 +1546,10 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
 
             def body(c):
                 r, vis = c
-                ids, counts = _round_lists(order, raw_counts, r, K)
+                ids, entries, counts = _round_lists(
+                    order, entry_sorted, raw_counts, r, K)
                 # already-blocked rays get t_max 0 -> packet-level cull
-                v = run(ids, counts, tmax * vis[:, None])
+                v = run(ids, entries, counts, tmax * vis[:, None])
                 return r + 1, vis * v
 
             _, vis = jax.lax.while_loop(
@@ -1386,10 +1564,11 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
 
         def body(c):
             r, best, tid = c[0], c[1], c[2]
-            ids, counts = _round_lists(order, raw_counts, r, K)
+            ids, entries, counts = _round_lists(
+                order, entry_sorted, raw_counts, r, K)
             # t_max' = running best t: a round-r candidate is accepted
             # only if strictly closer, so merging is a plain select
-            out_r = run(ids, counts, best[:, 0:1])
+            out_r = run(ids, entries, counts, best[:, 0:1])
             closer = out_r[1][:, 0:1] >= 0
             best = jnp.where(closer, out_r[0], best)
             tid = jnp.where(closer, out_r[1], tid)
