@@ -68,6 +68,7 @@ RAY_TILE = int(_os.environ.get("FLASH_RAY_TILE", "256"))
 TRI_TILE = int(_os.environ.get("FLASH_TRI_TILE", "128"))
 
 FEAT = 16  # 10 features padded to 16 lanes
+RAY_PK = 8  # packed ray lanes fed to the loop tracer: [o-center, 0, d, 0]
 BIG_T = 3.0e38
 
 
@@ -514,25 +515,46 @@ def packet_cluster_order(fs: FlashScene, origin, direction, t_max,
         & (entry_t_lb < tmax_ub[:, None])
     )
     key = jnp.where(hit, entry_t_lb, BIG_T)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (P, NTT)
-    entry_sorted = jnp.take_along_axis(key, order, axis=1)  # (P, NTT)
+    # ONE sort carrying the cluster ids as values: jnp.argsort +
+    # take_along_axis ran the sort AND a gather (the gather lowers badly
+    # on TPU — the r5 stage decomposition measured the old
+    # argsort+2x take_along_axis path at ~17 ms of a 30 ms trace call)
+    iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    entry_sorted, order = jax.lax.sort_key_val(key, iota, dimension=1)
     raw_counts = jnp.sum(hit, axis=1).astype(jnp.int32)
     return order, raw_counts, entry_sorted
 
 
-def _round_lists(order, entry_sorted, raw_counts, r, K):
-    """Rank window [r*K, (r+1)*K) of the near-sorted cluster ranking as a
-    kernel-ready (ids (P*K,) int32, entries (P*K,) f32, counts (P,)
-    int32) triple. Entries past a packet's live count repeat the last
-    live cluster (same block -> no extra DMA); r may be a traced scalar
-    (the overflow-round loop)."""
-    P, NTT = order.shape
+def _pad_ranking(order, entry_sorted, K):
+    """Edge-pad the (P, NTT) ranking to a whole number of K-wide rank
+    windows so _round_lists can slice instead of gather. Edge padding
+    repeats the last column: a valid cluster id whose true entry bound
+    IS the repeated entry value, so padded slots stay exact for both the
+    conservative re-test and the early-exit bound."""
+    NTT = order.shape[1]
+    W = -(-NTT // K) * K
+    if W == NTT:
+        return order, entry_sorted
+    pad = ((0, 0), (0, W - NTT))
+    return (jnp.pad(order, pad, mode="edge"),
+            jnp.pad(entry_sorted, pad, mode="edge"))
+
+
+def _round_lists(order_p, entry_p, raw_counts, r, K):
+    """Rank window [r*K, (r+1)*K) of the K-padded near-sorted ranking as
+    a kernel-ready (ids (P*K,) int32, entries (P*K,) f32, counts (P,)
+    int32) triple; r may be a traced scalar (the overflow-round loop).
+
+    Pure SLICES — no gathers. Slots past a packet's live count hold the
+    subsequent rank entries (conservatively-culled clusters): testing
+    them is wasted-but-exact (closest/anyhit are idempotent in extra
+    true geometry), and the loop tracer never reads past
+    ceil(count/C)*C slots anyway. The old repeat-last-live gather
+    (take_along_axis) cost 10.7 ms per 2M-ray call — more than the
+    kernel itself."""
     counts = jnp.clip(raw_counts - r * K, 0, K)
-    kk = jnp.arange(K, dtype=jnp.int32)[None, :]
-    take = r * K + jnp.minimum(kk, jnp.maximum(counts - 1, 0)[:, None])
-    take = jnp.minimum(take, NTT - 1)
-    ids = jnp.take_along_axis(order, take, axis=1)
-    entries = jnp.take_along_axis(entry_sorted, take, axis=1)
+    ids = jax.lax.dynamic_slice_in_dim(order_p, r * K, K, axis=1)
+    entries = jax.lax.dynamic_slice_in_dim(entry_p, r * K, K, axis=1)
     # 1-D layouts: 2-D int arrays in SMEM are lane-padded to 128 wide,
     # blowing the ~1 MB SMEM budget at screen-scale packet counts
     return ids.reshape(-1), entries.reshape(-1), counts
@@ -551,6 +573,7 @@ def packet_cluster_lists(fs: FlashScene, origin, direction, t_max,
     K = int(k_list) if k_list is not None else int(min(ntt, k_cap))
     order, raw_counts, entry_sorted = packet_cluster_order(
         fs, origin, direction, t_max, t_min=t_min)
+    order, entry_sorted = _pad_ranking(order, entry_sorted, K)
     ids, _, counts = _round_lists(order, entry_sorted, raw_counts, 0, K)
     return ids, counts, raw_counts
 
@@ -559,6 +582,24 @@ def _split_bf16(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def _kernel_features(rays):
+    """In-kernel twin of _features: the 16-lane Plücker feature rows
+    from packed (rt, 8) rays [o-center (3), 0, d (3), 0]. Built on the
+    VPU once per sub-packet (amortized over its cluster loop). The XLA
+    version materialized a full (R, 16) f32 plane per trace call —
+    measured 5.7 ms of concat/pad copies per 2M-ray call, and double
+    the kernel-input DMA bytes."""
+    rt = rays.shape[0]
+    o = rays[:, 0:3]
+    d = rays[:, 4:7]
+    m0 = rays[:, 1:2] * rays[:, 6:7] - rays[:, 2:3] * rays[:, 5:6]
+    m1 = rays[:, 2:3] * rays[:, 4:5] - rays[:, 0:1] * rays[:, 6:7]
+    m2 = rays[:, 0:1] * rays[:, 5:6] - rays[:, 1:2] * rays[:, 4:5]
+    ones = jnp.ones((rt, 1), rays.dtype)
+    zeros = jnp.zeros((rt, FEAT - 10), rays.dtype)
+    return jnp.concatenate([o, d, m0, m1, m2, ones, zeros], axis=1)
 
 
 # relative slop on the numerator-space barycentric acceptance: bf16x3
@@ -571,10 +612,9 @@ EDGE_SLOP_VIS = 8e-3
 # measured: the visibility pass is accept-op-bound, not matmul-bound, so
 # the single-pass bf16 variant bought nothing — default stays precise
 VIS_BF16 = _os.environ.get("FLASH_VIS_BF16", "0") == "1"
-# run the visibility ACCEPT (not the matmul) in bf16: halves the vector
-# registers the accept-op-bound epilogue touches; EDGE_SLOP_VIS absorbs
-# the rounding (binary accept, denoisers smooth edge wobble)
-VIS_ACCEPT_BF16 = _os.environ.get("FLASH_VIS_ACCEPT_BF16", "0") == "1"
+# NOTE r5: a bf16 accept epilogue (comparisons at half vector width) was
+# prototyped and measured — Mosaic on v5e rejects bf16 cmpf ("Target does
+# not support this comparison"), so the accept must stay f32.
 # closest-hit: order tile candidates with the fast ~12-bit reciprocal and
 # refine only the winner with an exact divide (see _sparse_closest_kernel)
 APPROX_DIV = _os.environ.get("FLASH_APPROX_DIV", "1") == "1"
@@ -823,15 +863,8 @@ def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
         else:
             f_hi, f_lo = _split_bf16(feats)
             det, tn, un, vn = _grouped_mt(f_hi, f_lo, m48s, tt)
-            if VIS_ACCEPT_BF16:
-                valid, _, _, _, _ = _numerator_accept(
-                    det.astype(jnp.bfloat16), tn.astype(jnp.bfloat16),
-                    un.astype(jnp.bfloat16), vn.astype(jnp.bfloat16),
-                    t_min, tmax_ref[:].astype(jnp.bfloat16),
-                    slop=EDGE_SLOP_VIS)
-            else:
-                valid, _, _, _, _ = _numerator_accept(
-                    det, tn, un, vn, t_min, tmax_ref[:])
+            valid, _, _, _, _ = _numerator_accept(
+                det, tn, un, vn, t_min, tmax_ref[:])
         blocked = jnp.max(valid.astype(jnp.int32), axis=1, keepdims=True)
         vis_ref[:] = vis_ref[:] * (1 - blocked)
 
@@ -876,7 +909,7 @@ def _sparse_anyhit_kernel(ids_ref, cnt_ref, feats_ref, tmax_ref, box_ref,
 # ---------------------------------------------------------------------
 
 
-def _loop_closest_kernel(ids_ref, cnt_ref, entry_ref, feats_ref, tmax_ref,
+def _loop_closest_kernel(ids_ref, cnt_ref, entry_ref, rays_ref, tmax_ref,
                          mat_hbm, *rest, t_min, tt, kk, cps, grp,
                          with_attrs, attrs_bf16=False, approx_div=False,
                          resident=False, early_exit=True):
@@ -906,13 +939,20 @@ def _loop_closest_kernel(ids_ref, cnt_ref, entry_ref, feats_ref, tmax_ref,
     if with_attrs:
         attr_out_ref[:] = jnp.zeros_like(attr_out_ref[:])
 
+    # feature build hoisted to ONE whole-block op chain per grid step:
+    # the build is concat/relayout-heavy, and per-sub-packet copies of it
+    # dominated the per-packet fixed cost (r5 fixed-vs-slope fit:
+    # ~1.9 us/packet fixed at grp=8)
+    f_hi, f_lo = _split_bf16(_kernel_features(rays_ref[:]))
+    f48_all = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
+
     # grp sub-packets per grid step: amortizes the fixed per-grid-step
     # Mosaic cost (~3.1 us measured r5 from the shadows-vs-AO
     # clusters/packet regression) over grp independent cluster loops
     # while keeping culling granularity at RAY_TILE rays
     for g in range(grp):
         _one_closest_packet(
-            g, rt, i * grp + g, ids_ref, cnt_ref, entry_ref, feats_ref,
+            g, rt, i * grp + g, ids_ref, cnt_ref, entry_ref, f48_all,
             tmax_ref, mat_hbm, attr_hbm, best_ref, id_ref, attr_out_ref,
             mat_slab, sems, attr_slab, attr_sems,
             t_min=t_min, tt=tt, kk=kk, C=C, with_attrs=with_attrs,
@@ -920,7 +960,7 @@ def _loop_closest_kernel(ids_ref, cnt_ref, entry_ref, feats_ref, tmax_ref,
             resident=resident, early_exit=early_exit)
 
 
-def _one_closest_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, feats_ref,
+def _one_closest_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, f48_all,
                         tmax_ref, mat_hbm, attr_hbm, best_ref, id_ref,
                         attr_out_ref, mat_slab, sems, attr_slab, attr_sems,
                         *, t_min, tt, kk, C, with_attrs, attrs_bf16,
@@ -958,9 +998,7 @@ def _one_closest_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, feats_ref,
     def _trace():
         if not resident:
             start(0, 0)
-        feats = feats_ref[r0:r0 + rt]
-        f_hi, f_lo = _split_bf16(feats)
-        f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
+        f48 = f48_all[r0:r0 + rt]
 
         def cond(carry):
             s = carry[0]
@@ -1081,7 +1119,7 @@ def _one_closest_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, feats_ref,
             attr_out_ref[r0:r0 + rt] = acc
 
 
-def _loop_anyhit_kernel(ids_ref, cnt_ref, entry_ref, feats_ref, tmax_ref,
+def _loop_anyhit_kernel(ids_ref, cnt_ref, entry_ref, rays_ref, tmax_ref,
                         mat_hbm, vis_ref, *scratch, t_min, tt, kk, cps,
                         grp, vis_bf16=None, resident=False,
                         early_exit=True):
@@ -1094,15 +1132,24 @@ def _loop_anyhit_kernel(ids_ref, cnt_ref, entry_ref, feats_ref, tmax_ref,
     rt = tmax_ref.shape[0] // grp
     vis_ref[:] = (tmax_ref[:] > t_min).astype(jnp.int32)
 
+    # hoisted whole-block feature build (see _loop_closest_kernel)
+    feats_all = _kernel_features(rays_ref[:])
+    bf16 = VIS_BF16 if vis_bf16 is None else vis_bf16
+    if bf16:
+        f48_all = feats_all.astype(jnp.bfloat16)
+    else:
+        f_hi, f_lo = _split_bf16(feats_all)
+        f48_all = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
+
     for g in range(grp):
         _one_anyhit_packet(
-            g, rt, i * grp + g, ids_ref, cnt_ref, entry_ref, feats_ref,
+            g, rt, i * grp + g, ids_ref, cnt_ref, entry_ref, f48_all,
             tmax_ref, mat_hbm, vis_ref, mat_slab, sems,
-            t_min=t_min, tt=tt, kk=kk, C=C, vis_bf16=vis_bf16,
+            t_min=t_min, tt=tt, kk=kk, C=C, vis_bf16=bf16,
             resident=resident, early_exit=early_exit)
 
 
-def _one_anyhit_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, feats_ref,
+def _one_anyhit_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, f48_all,
                        tmax_ref, mat_hbm, vis_ref, mat_slab, sems, *,
                        t_min, tt, kk, C, vis_bf16, resident, early_exit):
     r0 = g * rt
@@ -1119,18 +1166,13 @@ def _one_anyhit_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, feats_ref,
         for j in range(C):
             _mat_dma(s, slot, j).start()
 
-    bf16 = VIS_BF16 if vis_bf16 is None else vis_bf16
+    bf16 = vis_bf16
 
     @pl.when(nsteps > 0)
     def _trace():
         if not resident:
             start(0, 0)
-        feats = feats_ref[r0:r0 + rt]
-        if bf16:
-            f48 = feats.astype(jnp.bfloat16)
-        else:
-            f_hi, f_lo = _split_bf16(feats)
-            f48 = jnp.concatenate([f_hi, f_lo, f_hi], axis=1)
+        f48 = f48_all[r0:r0 + rt]
 
         def cond(carry):
             s, _, maxrem = carry
@@ -1205,22 +1247,24 @@ def _one_anyhit_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, feats_ref,
     static_argnames=("t_min", "interpret", "with_attrs", "any_hit", "K",
                      "C", "vis_bf16", "attrs_bf16", "resident",
                      "early_exit", "grp"))
-def _loop_call_jit(feats, tmax, ids, counts, entries, mat_blk, attr_blk,
+def _loop_call_jit(rays, tmax, ids, counts, entries, mat_blk, attr_blk,
                    *, t_min, interpret, with_attrs, any_hit, K, C,
                    vis_bf16, attrs_bf16, resident, early_exit, grp):
     """v3/v4 pallas_call: grid=(packet groups,), in-kernel cluster loops
     (see the kernel block comment: resident = whole scene as full-VMEM
     operands, else double-buffered DMA; early_exit = entry-bound-gated
     while_loop; GROUP sub-packets per grid step amortize the fixed
-    per-grid-step cost). Shares the one-traced-jaxpr payload-dedup
-    property of _sparse_call_jit (same shapes at every site -> one
-    Mosaic payload per variant)."""
+    per-grid-step cost). Rays arrive packed (R, 8) [o-center, 0, d, 0];
+    the 16-lane feature matrix is built in-kernel (_kernel_features).
+    Shares the one-traced-jaxpr payload-dedup property of
+    _sparse_call_jit (same shapes at every site -> one Mosaic payload
+    per variant)."""
     tt = TRI_TILE
     P = counts.shape[0]
-    r_pad = feats.shape[0]
+    r_pad = rays.shape[0]
 
     common_in = [
-        pl.BlockSpec((grp * RAY_TILE, FEAT),
+        pl.BlockSpec((grp * RAY_TILE, RAY_PK),
                      lambda i, ids, cnt, ent: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((grp * RAY_TILE, 1), lambda i, ids, cnt, ent: (i, 0),
@@ -1252,9 +1296,9 @@ def _loop_call_jit(feats, tmax, ids, counts, entries, mat_blk, attr_blk,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
             interpret=interpret,
-        )(ids, counts, entries, feats, tmax, mat_blk)
+        )(ids, counts, entries, rays, tmax, mat_blk)
 
-    args = [ids, counts, entries, feats, tmax, mat_blk]
+    args = [ids, counts, entries, rays, tmax, mat_blk]
     scratch = list(mat_scratch)
     out_specs = [
         pl.BlockSpec((grp * RAY_TILE, 4), lambda i, ids, cnt, ent: (i, 0),
@@ -1346,7 +1390,7 @@ def _resident_bytes(fs: FlashScene, with_attrs: bool) -> int:
     return b
 
 
-def _sparse_call(fs, feats, tmax, ids, counts, entries, t_min, interpret,
+def _sparse_call(fs, rayf, tmax, ids, counts, entries, t_min, interpret,
                  with_attrs, any_hit, K, C, vis_bf16=None):
     """Shape-cached jit wrapper around the pallas_call: the serialized
     Mosaic payload embeds the tracing call stack's source locations, so
@@ -1359,15 +1403,20 @@ def _sparse_call(fs, feats, tmax, ids, counts, entries, t_min, interpret,
         import math
 
         resident = _resident_bytes(fs, with_attrs) <= RESIDENT_LIMIT
+        # with_attrs carries 3 lane-padded whole-block outputs (best,
+        # id, attrs = ~1 MB each at grp=8) on top of the hoisted
+        # feature build; grp=8 put the resident variant 596 KB over the
+        # 16 MB scoped-VMEM limit, so it runs at half group
+        grp = GROUP // 2 if with_attrs else GROUP
         return _loop_call_jit(
-            feats, tmax, ids, counts, entries, fs.trimat48_blk,
+            rayf, tmax, ids, counts, entries, fs.trimat48_blk,
             fs.attrs_blk, t_min=t_min, interpret=interpret,
             with_attrs=with_attrs, any_hit=any_hit, K=K, C=C,
             vis_bf16=vis_bf16, attrs_bf16=bool(fs.attrs_bf16_safe),
             resident=resident, early_exit=EARLY_EXIT,
-            grp=math.gcd(GROUP, counts.shape[0]))
+            grp=max(1, math.gcd(grp, counts.shape[0])))
     return _sparse_call_jit(
-        feats, tmax, ids, counts, fs.cluster_box, fs.trimat48, fs.attrs,
+        rayf, tmax, ids, counts, fs.cluster_box, fs.trimat48, fs.attrs,
         t_min=t_min, interpret=interpret, with_attrs=with_attrs,
         any_hit=any_hit, K=K, C=C, vis_bf16=vis_bf16,
         attrs_bf16=bool(fs.attrs_bf16_safe))
@@ -1504,7 +1553,15 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
     origin_p = _pad_rays(origin, r_pad)
     direction_p = _pad_rays(
         direction, r_pad, fill=1.0) if r_pad != R else direction
-    feats = _features(origin_p, direction_p, fs.center)
+    if USE_LOOP_TRACER:
+        # packed (R, 8) [o-center, 0, d, 0]: the loop kernel builds the
+        # 16-lane feature matrix itself (_kernel_features) — half the
+        # input DMA and none of the XLA concat/pad copies of _features
+        z1 = jnp.zeros_like(origin_p[:, :1])
+        rayf = jnp.concatenate(
+            [origin_p - fs.center, z1, direction_p, z1], axis=-1)
+    else:
+        rayf = _features(origin_p, direction_p, fs.center)
     # padded rays get t_max 0: raw_counts 0, live False in the kernel
     tmax = _pad_rays(
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))[:, None],
@@ -1512,6 +1569,7 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
     )
     order, raw_counts, entry_sorted = packet_cluster_order(
         fs, origin_p, direction_p, tmax[:, 0], t_min=t_min)
+    order, entry_sorted = _pad_ranking(order, entry_sorted, K)
 
     def run(ids, entries, counts, tmax_col):
         """One round of chunked kernel calls on the padded wavefront."""
@@ -1520,7 +1578,7 @@ def _flash_sparse_impl(fs: FlashScene, origin, direction, t_max, t_min,
             p1 = p0 + chunk_p
             sl = slice(p0 * RAY_TILE, p1 * RAY_TILE)
             chunks.append(_sparse_call(
-                fs, feats[sl], tmax_col[sl], ids[p0 * K : p1 * K],
+                fs, rayf[sl], tmax_col[sl], ids[p0 * K : p1 * K],
                 counts[p0:p1], entries[p0 * K : p1 * K], t_min, interpret,
                 with_attrs, any_hit, K, C, vis_bf16=vis_bf16))
         if any_hit:

@@ -96,30 +96,42 @@ def main():
     # --- stage decomposition on the shadow load: where does a
     # visibility call's time actually go? ---
     if os.environ.get("SWEEP_STAGES", "1") == "1":
-        feats_fn = jax.jit(lambda oo, dd: ft._features(oo, dd, fs.center))
-        ms = timeit(feats_fn, so, ldir)
-        print(f"[stage] features           : {ms:7.1f} ms", flush=True)
-        order_fn = jax.jit(lambda oo, dd, t: ft.packet_cluster_order(
-            fs, oo, dd, t))
-        ms = timeit(order_fn, so, ldir, stm)
-        print(f"[stage] packet_cluster_order: {ms:6.1f} ms", flush=True)
+        def pack_fn(oo, dd):
+            z1 = jnp.zeros_like(oo[:, :1])
+            return jnp.concatenate([oo - fs.center, z1, dd, z1], axis=-1)
+        pfn = jax.jit(pack_fn)
+        ms = timeit(pfn, so, ldir)
+        print(f"[stage] ray pack (R,8)     : {ms:7.1f} ms", flush=True)
 
-        order, raw_counts, entry_sorted = order_fn(so, ldir, stm)
         K = min(fs.num_tri_tiles, ft.MAX_CLUSTERS)
-        lists_fn = jax.jit(lambda o_, e_, r_: ft._round_lists(
-            o_, e_, r_, 0, K))
-        ms = timeit(lists_fn, order, entry_sorted, raw_counts)
-        print(f"[stage] round_lists        : {ms:7.1f} ms", flush=True)
 
-        ids0, entries0, counts0 = lists_fn(order, entry_sorted, raw_counts)
-        feats_v = feats_fn(so, ldir)
+        def prepass_fn(oo, dd, t):
+            order, raw, ent = ft.packet_cluster_order(fs, oo, dd, t)
+            order, ent = ft._pad_ranking(order, ent, K)
+            return ft._round_lists(order, ent, raw, 0, K)
+        ofn = jax.jit(prepass_fn)
+        ms = timeit(ofn, so, ldir, stm)
+        print(f"[stage] order+lists        : {ms:7.1f} ms", flush=True)
+
+        ids0, entries0, counts0 = ofn(so, ldir, stm)
+        rays_v = pfn(so, ldir)
         tmax_col = stm[:, None]
 
         def kernel_only(f_, t_, i_, c_, e_):
-            return ft._sparse_call(fs, f_, t_, i_, c_, e_, 1e-3, False,
-                                   False, True, K, 1)
+            # replicate the production chunk loop (CHUNK_P packets per
+            # pallas_call) so launch count matches _flash_sparse_impl
+            P = c_.shape[0]
+            cp = min(ft.CHUNK_P, P)
+            outs = []
+            for p0 in range(0, P, cp):
+                p1 = p0 + cp
+                sl = slice(p0 * ft.RAY_TILE, p1 * ft.RAY_TILE)
+                outs.append(ft._sparse_call(
+                    fs, f_[sl], t_[sl], i_[p0 * K: p1 * K], c_[p0:p1],
+                    e_[p0 * K: p1 * K], 1e-3, False, False, True, K, 1))
+            return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
         kfn = jax.jit(kernel_only)
-        ms = timeit(kfn, feats_v, tmax_col, ids0, counts0, entries0)
+        ms = timeit(kfn, rays_v, tmax_col, ids0, counts0, entries0)
         print(f"[stage] vis kernel only    : {ms:7.1f} ms", flush=True)
 
     ref = {}
