@@ -113,25 +113,34 @@ def render_gbuffer(
     )
 
 
+def _ds2(x):
+    """One 2x nearest downsample. A plain ``x[::2, ::2]`` lowers to a
+    serialized per-element gather on TPU (measured 5.6 ms per 1080p plane
+    — the three per-pass downsample_gbuffer calls were ~54 ms of the r4
+    frame); a sublane-stride row slice followed by a reshape that splits
+    the lane dim and selects element 0 stays dense (0.72 ms measured)."""
+    h, w = x.shape[0] // 2, x.shape[1] // 2
+    rows = x[: 2 * h : 2, : 2 * w]  # sublane stride: cheap
+    return rows.reshape((h, w, 2) + x.shape[2:])[:, :, 0]
+
+
 def downsample_gbuffer(gb: GBuffer, scale: int) -> GBuffer:
     """Nearest-filter downsample by 2**scale — the mip-chain equivalent
     (g_buffer.cpp:236-244) for half/quarter-res ray passes."""
     if scale == 0:
         return gb
-    s = 1 << scale
-
-    def ds(x):
-        return x[..., ::s, ::s] if x.ndim == 2 else x[::s, ::s, ...]
-
-    return GBuffer(
-        albedo=gb.albedo[::s, ::s],
-        metallic=gb.metallic[::s, ::s],
-        normal=gb.normal[::s, ::s],
-        motion=gb.motion[::s, ::s],
-        roughness=gb.roughness[::s, ::s],
-        curvature=gb.curvature[::s, ::s],
-        mesh_id=gb.mesh_id[::s, ::s],
-        linear_z=gb.linear_z[::s, ::s],
-        depth=gb.depth[::s, ::s],
-        position=gb.position[::s, ::s],
-    )
+    out = gb
+    for _ in range(scale):
+        out = GBuffer(
+            albedo=_ds2(out.albedo),
+            metallic=_ds2(out.metallic),
+            normal=_ds2(out.normal),
+            motion=_ds2(out.motion),
+            roughness=_ds2(out.roughness),
+            curvature=_ds2(out.curvature),
+            mesh_id=_ds2(out.mesh_id),
+            linear_z=_ds2(out.linear_z),
+            depth=_ds2(out.depth),
+            position=_ds2(out.position),
+        )
+    return out

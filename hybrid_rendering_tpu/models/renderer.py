@@ -196,15 +196,35 @@ class HybridRenderer:
             outputs["gbuffer_normal"] = gb.normal
             outputs["gbuffer_depth"] = gb.depth
 
+        # shared mip chain: one downsample per scale, reused by every
+        # half/quarter-res pass (AO + reflections + DDGI each re-slicing
+        # the full-res planes cost ~54 ms/frame in gathers, r5 xplane);
+        # each level cascades from the previous (g_buffer.cpp:236-244
+        # builds the mip chain once per frame the same way)
+        _gb_mips = {0: gb}
+        _prev_mips = {0: state.prev_gbuffer}
+
+        def gb_at(scale, _m=_gb_mips):
+            s = int(scale)
+            while s not in _m:
+                lo = max(k for k in _m if k < s)
+                _m[lo + 1] = gbuffer_mod.downsample_gbuffer(_m[lo], 1)
+            return _m[s]
+
+        def prev_gb_at(scale, _m=_prev_mips):
+            s = int(scale)
+            while s not in _m:
+                lo = max(k for k in _m if k < s)
+                _m[lo + 1] = gbuffer_mod.downsample_gbuffer(_m[lo], 1)
+            return _m[s]
+
         # --- shadows (main.cpp:80) ---
         shadow_vis = None
         shadows_state = state.shadows
         if cfg.shadows.enabled:
             with jax.named_scope("shadows"):
-                gb_s = gbuffer_mod.downsample_gbuffer(gb, int(cfg.shadows.scale))
-                prev_gb_s = gbuffer_mod.downsample_gbuffer(
-                    state.prev_gbuffer, int(cfg.shadows.scale)
-                )
+                gb_s = gb_at(cfg.shadows.scale)
+                prev_gb_s = prev_gb_at(cfg.shadows.scale)
                 sh_out, shadows_state = shadows_mod.shadows_pass(
                     visibility_fn, gb_s, prev_gb_s, gb, light,
                     state.shadows, state.frame_index, cfg.shadows,
@@ -221,10 +241,8 @@ class HybridRenderer:
         ao_state = state.ao
         if cfg.ao.enabled:
             with jax.named_scope("ao"):
-                gb_a = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ao.scale))
-                prev_gb_a = gbuffer_mod.downsample_gbuffer(
-                    state.prev_gbuffer, int(cfg.ao.scale)
-                )
+                gb_a = gb_at(cfg.ao.scale)
+                prev_gb_a = prev_gb_at(cfg.ao.scale)
                 ao_out, ao_state = ao_pass_mod.ao_pass(
                     visibility_fn, gb_a, prev_gb_a, gb,
                     state.ao, state.frame_index, cfg.ao,
@@ -254,7 +272,7 @@ class HybridRenderer:
                 return self.gi_sampler(_st, p, n, wo, valid=valid)
 
             with jax.named_scope("ddgi_sample_screen"):
-                gb_g = gbuffer_mod.downsample_gbuffer(gb, int(cfg.ddgi.scale))
+                gb_g = gb_at(cfg.ddgi.scale)
                 gi_low = ddgi_mod.sample_probe_grid_screen(
                     self.probe_grid, ddgi_state, cfg.ddgi, gb_g,
                     camera.position, sampler=self.gi_sampler,
@@ -279,12 +297,8 @@ class HybridRenderer:
                 camera_delta = jnp.linalg.norm(
                     camera.position - state.prev_cam_pos
                 )
-                gb_r = gbuffer_mod.downsample_gbuffer(
-                    gb, int(cfg.reflections.scale)
-                )
-                prev_gb_r = gbuffer_mod.downsample_gbuffer(
-                    state.prev_gbuffer, int(cfg.reflections.scale)
-                )
+                gb_r = gb_at(cfg.reflections.scale)
+                prev_gb_r = prev_gb_at(cfg.reflections.scale)
                 refl_out, refl_state = reflections_mod.reflections_pass(
                     scene, closest_surface_fn, visibility_fn,
                     gb_r, prev_gb_r, gb, camera, camera_delta, light,

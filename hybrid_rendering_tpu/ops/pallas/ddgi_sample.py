@@ -532,8 +532,14 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         # group consecutive linearized blocks): 256 normally; 64 for small
         # frames, where a 256-point tile would span too much world space
         # for the probe window (fit fraction at 160x128 gi_test: 256-pt
-        # tiles 70% -> 64-pt tiles 93%)
-        small = len(shape) == 2 and shape[1] < 512
+        # tiles 70% -> 64-pt tiles 93%). "Small" is judged by TOTAL point
+        # count: the old width<512 test also caught quarter-scale 1080p
+        # (480x270 = 130k points), quadrupling the tile count — 40 of the
+        # 47 sampler dispatches and ~30 ms of the r5 xplane frame.
+        npts = 1
+        for s_ in shape:
+            npts *= int(s_)
+        small = len(shape) == 2 and npts <= 65536
         tile = 64 if small else TILE_PTS
         if b > 1:
             H, W = shape

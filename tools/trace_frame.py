@@ -17,6 +17,12 @@ def main():
 
     import jax
 
+    try:  # reuse bench.py's persistent compile cache
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from hybrid_rendering_tpu.config import (
         AOConfig, DDGIConfig, ReflectionsConfig, RendererConfig,
         ShadowsConfig, TAAConfig, RayTraceScale,
