@@ -124,6 +124,17 @@ def _ds2(x):
     return rows.reshape((h, w, 2) + x.shape[2:])[:, :, 0]
 
 
+def nearest_downsample(x, step: int):
+    """Nearest downsample by a power-of-two ``step`` via the dense _ds2
+    cascade — the drop-in for ``x[::step, ::step]``, which serializes into
+    per-element gathers on TPU (see _ds2)."""
+    assert step & (step - 1) == 0, step
+    while step > 1:
+        x = _ds2(x)
+        step //= 2
+    return x
+
+
 def downsample_gbuffer(gb: GBuffer, scale: int) -> GBuffer:
     """Nearest-filter downsample by 2**scale — the mip-chain equivalent
     (g_buffer.cpp:236-244) for half/quarter-res ray passes."""

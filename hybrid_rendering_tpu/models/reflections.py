@@ -167,11 +167,13 @@ def ray_trace(
             # sample point is the primary surface) and a smooth-field
             # interpolation for hit-point GI (indirect diffuse at the hit
             # is low-frequency and feeds the SVGF chain anyway)
+            from hybrid_rendering_tpu.models.gbuffer import (
+                nearest_downsample as _nds)
             gi_low = gi_sample_fn(
-                gi_p[::s, ::s], gi_n[::s, ::s], gi_wo[::s, ::s],
-                valid=gi_valid[::s, ::s])
+                _nds(gi_p, s), _nds(gi_n, s), _nds(gi_wo, s),
+                valid=_nds(gi_valid, s))
             gi_merged = filters.upsample_edge_aware(
-                gi_low, gb.normal[::s, ::s], gb.linear_z[::s, ::s],
+                gi_low, _nds(gb.normal, s), _nds(gb.linear_z, s),
                 gb.normal, gb.linear_z, s.bit_length() - 1)
         else:
             gi_merged = gi_sample_fn(gi_p, gi_n, gi_wo, valid=gi_valid)

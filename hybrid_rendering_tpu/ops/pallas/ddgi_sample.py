@@ -331,12 +331,12 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
             # normalized) on the full-res 16x16 atlas; the bilinear
             # weights build ONE texel-domain one-hot (half-width lanes)
             # applied to each moment plane
-            taps_d = _oct_texel_taps_clamped_cols(
-                ptpx / dist, ptpy / dist, ptpz / dist, dep_side,
-            )
             if DEPTH_NEAREST:
                 # single nearest tap: picks the largest-weight corner of
                 # the bilinear quad (perf experiment knob)
+                taps_d = _oct_texel_taps_clamped_cols(
+                    ptpx / dist, ptpy / dist, ptpz / dist, dep_side,
+                )
                 best = None
                 for tt, ww in taps_d:
                     cand = (tt, ww)
@@ -347,13 +347,33 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
                         best = (jnp.where(take, tt, best[0]),
                                 jnp.where(take, ww, best[1]))
                 taps_d = [(best[0], jnp.ones_like(best[1]))]
-            lane_t3 = jax.lax.broadcasted_iota(
-                jnp.int32, (8, TILE_PTS, DEP_PLANE), 2)
-            u_mask = jnp.zeros((8, TILE_PTS, DEP_PLANE), jnp.float32)
-            for tt, ww in taps_d:
-                u_mask = u_mask + jnp.where(
-                    lane_t3 == tt[:, :, None], ww[:, :, None], 0.0
-                )
+                lane_t3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, TILE_PTS, DEP_PLANE), 2)
+                u_mask = jnp.zeros((8, TILE_PTS, DEP_PLANE), jnp.float32)
+                for tt, ww in taps_d:
+                    u_mask = u_mask + jnp.where(
+                        lane_t3 == tt[:, :, None], ww[:, :, None], 0.0
+                    )
+            else:
+                # separable TENT over the texel lane domain — exactly the
+                # 4 clamped bilinear taps (center clamped to [0, side-1]
+                # reproduces the per-tap edge clamp: out-of-range tap mass
+                # collapses onto the edge texel either way) in 9 VPU
+                # passes instead of the tap loop's 12 (the mask build is
+                # the kernel's VPU hot spot)
+                u, v = _oct_encode_cols(ptpx / dist, ptpy / dist,
+                                        ptpz / dist)
+                txc = jnp.clip((u * 0.5 + 0.5) * dep_side - 0.5,
+                               0.0, dep_side - 1.0)
+                tyc = jnp.clip((v * 0.5 + 0.5) * dep_side - 0.5,
+                               0.0, dep_side - 1.0)
+                lane_t3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, TILE_PTS, DEP_PLANE), 2)
+                lx = (lane_t3 % dep_side).astype(jnp.float32)
+                ly = (lane_t3 // dep_side).astype(jnp.float32)
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - txc[:, :, None]))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly - tyc[:, :, None]))
+                u_mask = wx * wy
             u2 = u_mask.reshape(B, DEP_PLANE)
             e8 = jnp.ones((DEP_PLANE, 8), jnp.float32)
             m8 = jnp.dot(dep_rows[:, :DEP_PLANE] * u2, e8,

@@ -1295,6 +1295,8 @@ def _loop_call_jit(rays, tmax, ids, counts, entries, mat_blk, attr_blk,
                               resident=resident, early_exit=early_exit),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(ids, counts, entries, rays, tmax, mat_blk)
 
@@ -1341,6 +1343,11 @@ def _loop_call_jit(rays, tmax, ids, counts, entries, mat_blk, attr_blk,
                           resident=resident, early_exit=early_exit),
         grid_spec=grid_spec,
         out_shape=out_shape,
+        # default scoped-VMEM budget is 16 MB; grp*RAY_TILE blocks beyond
+        # 2048 rays tip the resident-scene + grouped-block sum over it
+        # (r5 sweep: GROUP=16 OOM'd by 444 KB). v5e VMEM is 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -1369,17 +1376,24 @@ CLUSTERS_PER_STEP = (int(_CPS_ENV) if _CPS_ENV
 SYNC_FREE = _os.environ.get("FLASH_SYNC_FREE", "1") == "1"
 
 # v4 knobs: resident mode engages automatically when the cluster-blocked
-# scene data fits this VMEM budget (default 8 MB of the 16 MB VMEM,
-# leaving room for ray blocks, accept planes, and outputs); early exit
-# defaults on (it is exact — entry bounds are conservative lower bounds)
-RESIDENT_LIMIT = int(float(_os.environ.get("FLASH_RESIDENT_MB", "8"))
+# scene data fits this VMEM budget. Was 8 MB under the default 16 MB
+# scoped-vmem limit; the kernels now carry a 100 MB limit (v5e VMEM is
+# 128 MB), and 48 MB lets the attr-carrying traces (primary/reflections
+# — the frame's costliest) go resident too: r5 sweep 321 -> 306.6 ms
+# @1080p with GROUP=16. Early exit defaults on (it is exact — entry
+# bounds are conservative lower bounds).
+RESIDENT_LIMIT = int(float(_os.environ.get("FLASH_RESIDENT_MB", "48"))
                      * 2**20)
 EARLY_EXIT = _os.environ.get("FLASH_EARLY_EXIT", "1") == "1"
 # sub-packets per grid step: the r5 baseline regression (shadows 1.78
 # clusters/pkt @ 3.9 us/pkt vs AO 4.98 @ 5.3) puts the fixed per-grid-
 # step cost at ~3.1 us vs ~0.44 us per cluster step — grouping divides
-# the fixed term by GROUP while keeping 256-ray culling granularity
-GROUP = int(_os.environ.get("FLASH_GROUP", "8"))
+# the fixed term by GROUP while keeping 256-ray culling granularity.
+# r5 full-frame sweep (1080p shadows_test, 100 MB scoped-vmem limit):
+# GROUP=8 337 ms / 16 321 ms (compile 160 s cold) / 32 no result in
+# 900 s / 64 320.6 ms at 520 s compile — 16 is the knee.
+GROUP = int(_os.environ.get("FLASH_GROUP", "16"))
+_ATTR_FULL_GRP = _os.environ.get("FLASH_ATTR_FULL_GRP", "0") == "1"
 
 
 def _resident_bytes(fs: FlashScene, with_attrs: bool) -> int:
@@ -1406,8 +1420,10 @@ def _sparse_call(fs, rayf, tmax, ids, counts, entries, t_min, interpret,
         # with_attrs carries 3 lane-padded whole-block outputs (best,
         # id, attrs = ~1 MB each at grp=8) on top of the hoisted
         # feature build; grp=8 put the resident variant 596 KB over the
-        # 16 MB scoped-VMEM limit, so it runs at half group
-        grp = GROUP // 2 if with_attrs else GROUP
+        # then-16 MB scoped-VMEM limit, so it ran at half group. The
+        # kernels now carry a 100 MB limit; FLASH_ATTR_FULL_GRP=1 keeps
+        # attrs at full group (r5 sweep knob).
+        grp = GROUP if (not with_attrs or _ATTR_FULL_GRP) else GROUP // 2
         return _loop_call_jit(
             rayf, tmax, ids, counts, entries, fs.trimat48_blk,
             fs.attrs_blk, t_min=t_min, interpret=interpret,

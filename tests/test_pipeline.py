@@ -77,6 +77,26 @@ class TestGBuffer:
         np.testing.assert_allclose(
             np.asarray(gb_h.depth), np.asarray(gb.depth)[::2, ::2]
         )
+        # quarter res cascades two 2x steps == [::4, ::4]
+        gb_q = downsample_gbuffer(gb, 2)
+        np.testing.assert_allclose(
+            np.asarray(gb_q.normal), np.asarray(gb.normal)[::4, ::4]
+        )
+
+    def test_nearest_downsample_matches_strided(self):
+        from hybrid_rendering_tpu.models.gbuffer import nearest_downsample
+
+        rng = np.random.default_rng(0)
+        for shape, s in (((16, 24), 2), ((16, 24, 3), 4), ((8, 8, 2), 2)):
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(nearest_downsample(x, s)),
+                np.asarray(x)[::s, ::s],
+            )
+        b = jnp.asarray(rng.standard_normal((16, 16)) > 0)
+        np.testing.assert_array_equal(
+            np.asarray(nearest_downsample(b, 2)), np.asarray(b)[::2, ::2]
+        )
 
 
 class TestFullFrame:
