@@ -46,6 +46,15 @@ class ShadowsConfig:
     alpha: float = 0.01
     moments_alpha: float = 0.2
     history_cap: float = 32.0  # shadows_denoise_reprojection.comp:237
+    # History clamp half-width in neighborhood-stds. Reference hardcodes
+    # 0.5 (shadows_denoise_reprojection.comp:245-249); on static converged
+    # views that clamp BIASES visibility toward the 17x17 mean (-0.037
+    # mean visibility on gi_test vs an unbiased raw trace, r5 offline
+    # sweep of the captured per-frame traces: 0.5 -> -0.0369, 1.0 ->
+    # -0.0124, 2.0 -> -0.0080 = the raw trace's own bias). Presets of
+    # fidelity-gated static scenes widen it; 0.5 stays the default for
+    # reference-parity ghosting behavior under motion.
+    clamp_std_factor: float = 0.5
     # a-trous (ray_traced_shadows.h:104-109)
     denoise: bool = True
     atrous_iterations: int = 4

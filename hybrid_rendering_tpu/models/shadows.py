@@ -113,7 +113,8 @@ def temporal_accumulation(
     mean = filters.box_filter_sum(raw, 8) / (17.0 * 17.0)
     # binary signal: E[x^2] = E[x] (comp:242-246)
     std = jnp.sqrt(jnp.maximum(mean - mean * mean, 0.0))
-    hist = jnp.clip(rep.history, mean - 0.5 * std, mean + 0.5 * std)
+    k = cfg.clamp_std_factor  # comp:246-247 hardcodes 0.5; see config.py
+    hist = jnp.clip(rep.history, mean - k * std, mean + k * std)
     hist = jnp.where(success, hist, 0.0)
 
     alpha = jnp.where(success, jnp.maximum(cfg.alpha, 1.0 / history_length), 1.0)

@@ -233,3 +233,35 @@ def test_taa_motion_blur_blurs_along_velocity():
     trans1 = np.sum((row1 > 0.05) & (row1 < 0.95))
     assert trans1 > trans0 + 2
     assert np.isfinite(row1).all()
+
+
+class TestShadowTemporalClamp:
+    def test_clamp_std_factor_widens_history_window(self):
+        """A wider clamp_std_factor keeps converged history closer to the
+        true per-pixel mean near a shadow edge (the 17x17 neighborhood
+        mean mixes lit and umbra pixels; k=0.5 drags lit history toward
+        it — the r5 GT-calibrated preset fix)."""
+        import dataclasses
+        from hybrid_rendering_tpu.config import ShadowsConfig
+        from hybrid_rendering_tpu.models.shadows import (
+            ShadowsState, temporal_accumulation)
+
+        H = W = 32
+        gb = _flat_gbuffer(H, W)
+        # left half umbra (0), right half lit (1); history converged at
+        # the true signal
+        raw = jnp.concatenate(
+            [jnp.zeros((H, W // 2)), jnp.ones((H, W // 2))], axis=1)
+        state = ShadowsState(
+            history=raw, moments=jnp.stack([raw, raw], -1),
+            history_length=jnp.full((H, W), 32.0))
+
+        def run(k):
+            cfg = ShadowsConfig(clamp_std_factor=k)
+            vis, _, _, _ = temporal_accumulation(raw, gb, gb, state, cfg)
+            # lit pixel adjacent to the edge: neighborhood mean < 1
+            return float(vis[H // 2, W // 2 + 2])
+
+        v_tight, v_wide = run(0.5), run(4.0)
+        assert v_wide > v_tight  # wide clamp preserves lit history
+        assert v_wide > 0.97  # and is nearly unbiased

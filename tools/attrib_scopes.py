@@ -58,6 +58,7 @@ def main():
     by_scope_kind = defaultdict(float)
     by_src = defaultdict(float)
     unmatched = 0.0
+    unmatched_by_op = defaultdict(float)
     for plane in space.planes:
         if "TPU" not in plane.name and "Device" not in plane.name:
             continue
@@ -71,6 +72,9 @@ def main():
                 ms = ev.duration_ps / 1e9 / nframes
                 if not m or m.group(1) not in scopes:
                     unmatched += ms
+                    # bucket by op text prefix so repeated instances pool
+                    key = re.sub(r"[\d.]+", "#", txt.split("(")[0])[:90]
+                    unmatched_by_op[key] += ms
                     continue
                 scope, src = scopes[m.group(1)]
                 top = scope.split("/")[0]
@@ -95,6 +99,9 @@ def main():
     print("\n-- busy ms/frame by source line (top 25) --")
     for src, ms in sorted(by_src.items(), key=lambda kv: -kv[1])[:25]:
         print(f"  {ms:8.2f}  {src}")
+    print("\n-- unmatched ops (top 20, pooled by shape-erased text) --")
+    for op, ms in sorted(unmatched_by_op.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {ms:8.2f}  {op}")
 
 
 if __name__ == "__main__":
