@@ -134,13 +134,22 @@ VMEM_ATLAS_BYTES = int(_os.environ.get("DDGI_VMEM_ATLAS_BYTES",
                                        str(40 * 1024 * 1024)))
 # perf experiment: nearest instead of bilinear depth taps in Chebyshev
 DEPTH_NEAREST = _os.environ.get("DDGI_DEPTH_NEAREST", "0") == "1"
+# stage-skip micro-bench knobs (WRONG OUTPUT — perf attribution only):
+# 1 = replace the depth-row fetch dot / the bilinear mask with constants
+_VIS_SKIP_DEPROWS = _os.environ.get("DDGI_VIS_SKIP_DEPROWS", "0") == "1"
+_VIS_SKIP_MASK = _os.environ.get("DDGI_VIS_SKIP_MASK", "0") == "1"
 
 
 def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
-                 irr_side, dep_side, tile, atlas_vmem=False):
+                 irr_side, dep_side, tile, atlas_vmem=False,
+                 w_win=W_WIN):
     Px, Py, Pz = (int(c) for c in grid_counts)
     Pxy = Px * Py
     TILE_PTS = tile  # shadows the module default (64 for small frames)
+    # y/z window cells; shadows the module default — dense cages (small
+    # probe spacing) need a wider window for the same world footprint
+    W_WIN = w_win  # noqa: F841 — closure shadow, see make_fast_sampler
+    W_PROBES = W_WIN * W_WIN * 16
     s0, s1, s2 = (float(v) for v in grid_start)
     st0, st1, st2 = (float(v) for v in grid_step)
     (normal_bias, energy_preservation, visibility_test, gi_scale) = cfg_vals
@@ -324,9 +333,12 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
         oh2 = oh3.reshape(B, W_PROBES)
 
         if visibility_test:
-            dep_rows = jnp.dot(oh2.astype(jnp.bfloat16),
-                               dep_win.astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32)
+            if _VIS_SKIP_DEPROWS:
+                dep_rows = jnp.full((B, 2 * DEP_PLANE), 4.0, jnp.float32)
+            else:
+                dep_rows = jnp.dot(oh2.astype(jnp.bfloat16),
+                                   dep_win.astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
             # clamped-bilinear depth taps toward the probe (dir = ptp
             # normalized) on the full-res 16x16 atlas; the bilinear
             # weights build ONE texel-domain one-hot (half-width lanes)
@@ -354,26 +366,46 @@ def _make_kernel(grid_counts, grid_start, grid_step, cfg_vals,
                     u_mask = u_mask + jnp.where(
                         lane_t3 == tt[:, :, None], ww[:, :, None], 0.0
                     )
+            elif _VIS_SKIP_MASK:
+                u_mask = jnp.full((8, TILE_PTS, DEP_PLANE),
+                                  1.0 / DEP_PLANE, jnp.float32)
             else:
-                # separable TENT over the texel lane domain — exactly the
-                # 4 clamped bilinear taps (center clamped to [0, side-1]
-                # reproduces the per-tap edge clamp: out-of-range tap mass
-                # collapses onto the edge texel either way) in 9 VPU
-                # passes instead of the tap loop's 12 (the mask build is
-                # the kernel's VPU hot spot)
+                # separable TENT over the texel domain — exactly the 4
+                # clamped bilinear taps (center clamped to [0, side-1]
+                # reproduces the per-tap edge clamp: out-of-range tap
+                # mass collapses onto the edge texel either way). The
+                # tents are built on dep_side (16) lanes and expanded to
+                # the DEP_PLANE (256) lane domain by constant 0/1
+                # matmuls on the MXU: the straight (8,T,256)
+                # iota/mod/abs build was ~9 us of the ~29 us tile (r5
+                # stage-skip bench, DDGI_VIS_SKIP_MASK).
                 u, v = _oct_encode_cols(ptpx / dist, ptpy / dist,
                                         ptpz / dist)
                 txc = jnp.clip((u * 0.5 + 0.5) * dep_side - 0.5,
                                0.0, dep_side - 1.0)
                 tyc = jnp.clip((v * 0.5 + 0.5) * dep_side - 0.5,
                                0.0, dep_side - 1.0)
-                lane_t3 = jax.lax.broadcasted_iota(
-                    jnp.int32, (8, TILE_PTS, DEP_PLANE), 2)
-                lx = (lane_t3 % dep_side).astype(jnp.float32)
-                ly = (lane_t3 // dep_side).astype(jnp.float32)
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - txc[:, :, None]))
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly - tyc[:, :, None]))
-                u_mask = wx * wy
+                lane16 = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, TILE_PTS, dep_side), 2
+                ).astype(jnp.float32)  # Mosaic: iota must be int
+                wx16 = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(lane16 - txc[:, :, None]))
+                wy16 = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(lane16 - tyc[:, :, None]))
+                # 0/1 expanders built in-kernel ((16,256) iota work is
+                # ~4 vregs — 512x smaller than the old per-point build;
+                # pallas rejects captured host constants)
+                lane_p = jax.lax.broadcasted_iota(
+                    jnp.int32, (dep_side, DEP_PLANE), 1)
+                row_p = jax.lax.broadcasted_iota(
+                    jnp.int32, (dep_side, DEP_PLANE), 0)
+                tx_expand = (lane_p % dep_side == row_p).astype(jnp.float32)
+                ty_expand = (lane_p // dep_side == row_p).astype(jnp.float32)
+                wxe = jnp.dot(wx16.reshape(B, dep_side), tx_expand,
+                              preferred_element_type=jnp.float32)
+                wye = jnp.dot(wy16.reshape(B, dep_side), ty_expand,
+                              preferred_element_type=jnp.float32)
+                u_mask = (wxe * wye).reshape(8, TILE_PTS, DEP_PLANE)
             u2 = u_mask.reshape(B, DEP_PLANE)
             e8 = jnp.ones((DEP_PLANE, 8), jnp.float32)
             m8 = jnp.dot(dep_rows[:, :DEP_PLANE] * u2, e8,
@@ -431,7 +463,7 @@ CHUNK_TILES = int(_os.environ.get("DDGI_CHUNK_TILES", "128"))
 
 def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
                   grid_start, grid_step, cfg_vals, irr_side, dep_side,
-                  interpret, tile=TILE_PTS, atlas_vmem=False):
+                  interpret, tile=TILE_PTS, atlas_vmem=False, w_win=W_WIN):
     """Chunked dispatch wrapper around the single-payload pallas_call."""
     n_pts = pts.shape[0]
     assert n_pts >= tile and n_pts % tile == 0, (
@@ -453,7 +485,7 @@ def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
     kw = dict(grid_counts=grid_counts, grid_start=grid_start,
               grid_step=grid_step, cfg_vals=cfg_vals, irr_side=irr_side,
               dep_side=dep_side, interpret=interpret, tile=tile,
-              atlas_vmem=atlas_vmem)
+              atlas_vmem=atlas_vmem, w_win=w_win)
     outs = [
         _sample_tiles_call(bases[t0:t0 + chunk],
                            pts[t0 * tile:(t0 + chunk) * tile],
@@ -468,18 +500,18 @@ def _sample_tiles(bases, pts, irr_flat, dep_flat, icol, dcol, *, grid_counts,
     jax.jit,
     static_argnames=("grid_counts", "grid_start", "grid_step",
                      "cfg_vals", "irr_side", "dep_side", "interpret",
-                     "tile", "atlas_vmem"),
+                     "tile", "atlas_vmem", "w_win"),
 )
 def _sample_tiles_call(bases, pts, irr_flat, dep_flat, icol, dcol, *,
                        grid_counts, grid_start, grid_step, cfg_vals,
                        irr_side, dep_side, interpret, tile=TILE_PTS,
-                       atlas_vmem=False):
+                       atlas_vmem=False, w_win=W_WIN):
     ntiles = pts.shape[0] // tile
     IRR_LANES = irr_flat.shape[-1]
     DEP_LANES = dep_flat.shape[-1]
     kernel = _make_kernel(grid_counts, grid_start, grid_step,
                           cfg_vals, irr_side, dep_side, tile,
-                          atlas_vmem=atlas_vmem)
+                          atlas_vmem=atlas_vmem, w_win=w_win)
     atlas_space = pltpu.VMEM if atlas_vmem else pltpu.ANY
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -497,8 +529,8 @@ def _sample_tiles_call(bases, pts, irr_flat, dep_flat, icol, dcol, *,
         out_specs=pl.BlockSpec((tile, 8), lambda t, b: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[] if atlas_vmem else [
-            pltpu.VMEM((2, W_WIN, W_WIN, 16, IRR_LANES), jnp.float32),
-            pltpu.VMEM((2, W_WIN, W_WIN, 16, DEP_LANES), jnp.float32),
+            pltpu.VMEM((2, w_win, w_win, 16, IRR_LANES), jnp.float32),
+            pltpu.VMEM((2, w_win, w_win, 16, DEP_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -535,6 +567,12 @@ def make_fast_sampler(grid, cfg, interpret: bool):
     counts = tuple(int(c) for c in grid.counts)
     start = tuple(float(v) for v in grid.start)
     step = tuple(float(v) for v in grid.step)
+    # y/z window size: a tile's points span a world footprint set by the
+    # scene, so DENSER cages need more cells for the same coverage. At
+    # spacing 1.0 on gi_test the 4-cell window left >25% of tiles
+    # straddling (full-frame deviation 3.2% vs the XLA oracle); 6 cells
+    # restores the sub-1% gate. Spacing >= 1.25 keeps the cheaper 4.
+    w_win = W_WIN if min(step[1:]) >= 1.25 else 6
     cfg_vals = (
         float(cfg.normal_bias),
         float(cfg.energy_preservation),
@@ -592,7 +630,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         # their output is masked downstream, but the WINDOW base is shared
         # by the whole tile (VERDICT r2: 0.67 rel RMSE on gi_test frames
         # before this mask).
-        win = jnp.asarray([3, W_WIN, W_WIN], jnp.int32)
+        win = jnp.asarray([3, w_win, w_win], jnp.int32)
         if valid is not None:
             v3 = valid[..., None].astype(jnp.float32)
             if b > 1:
@@ -638,7 +676,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         dep_lanes = dep_flat.shape[1]
         Px, Py, Pz = counts
         pxp = -(-Px // 8) * 8 + 16
-        pyp, pzp = max(Py, W_WIN), max(Pz, W_WIN)
+        pyp, pzp = max(Py, w_win), max(Pz, w_win)
 
         def to4d(flat, lanes):
             a = jnp.pad(flat, ((0, 0), (0, lanes - flat.shape[1])))
@@ -657,6 +695,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
             interpret=interpret,
             tile=tile,
             atlas_vmem=atlas_bytes <= VMEM_ATLAS_BYTES,
+            w_win=w_win,
         )
         def pack(bs):
             return bs[:, 0] | (bs[:, 1] << 10) | (bs[:, 2] << 20)
@@ -671,7 +710,7 @@ def make_fast_sampler(grid, cfg, interpret: bool):
         # per-point. Brings full-frame deviation from the clamped cage
         # down to the sub-1% gate (tests/test_ddgi_fast_sampler.py).
         nt = n_pad // tile
-        cover = jnp.asarray([7, W_WIN - 1, W_WIN - 1], jnp.int32)
+        cover = jnp.asarray([7, w_win - 1, w_win - 1], jnp.int32)
         bt = base_pt.reshape(nt, tile, 3)
         fit1 = ((bt >= bases[:, None, :])
                 & (bt + 1 <= bases[:, None, :] + cover)).all(-1)

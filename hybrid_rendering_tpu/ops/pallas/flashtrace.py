@@ -1026,6 +1026,13 @@ def _one_closest_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, f48_all,
                 mats = [mat_slab[slot, j] for j in range(C)]
             prods = [jnp.dot(f48, m, preferred_element_type=jnp.float32)
                      for m in mats]
+            if _LOOP_DEBUG == "dot":
+                upd = prods[0][:, 0:1]
+                for pr in prods[1:]:
+                    upd = upd + pr[:, 0:1]
+                nb = jnp.concatenate(
+                    [best[:, 0:1] + upd * 1e-30, best[:, 1:3]], axis=1)
+                return s + 1, nb, gid, acc, carry[4]
             det = jnp.concatenate(
                 [pr[:, 0 * tt: 1 * tt] for pr in prods], axis=1)
             tn = jnp.concatenate(
@@ -1046,6 +1053,13 @@ def _one_closest_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, f48_all,
                 t = jnp.where(valid, st / safe_adet, BIG_T)
             tile_min = jnp.min(t, axis=1, keepdims=True)
             improved = tile_min < best_t
+            if _LOOP_DEBUG == "accept":
+                nb = jnp.concatenate(
+                    [jnp.where(improved, tile_min, best_t), best[:, 1:3]],
+                    axis=1)
+                bm = (jnp.max(nb[:, 0]) if early_exit
+                      else jnp.float32(0.0))
+                return s + 1, nb, gid, acc, bm
 
             lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
             sel = (t == tile_min) & improved
@@ -1208,18 +1222,24 @@ def _one_anyhit_packet(g, rt, p, ids_ref, cnt_ref, entry_ref, f48_all,
                                  preferred_element_type=jnp.float32)
                          for m in mats]
                 slop = EDGE_SLOP
-            det = jnp.concatenate(
-                [pr[:, 0 * tt: 1 * tt] for pr in prods], axis=1)
-            tn = jnp.concatenate(
-                [pr[:, 1 * tt: 2 * tt] for pr in prods], axis=1)
-            un = jnp.concatenate(
-                [pr[:, 2 * tt: 3 * tt] for pr in prods], axis=1)
-            vn = jnp.concatenate(
-                [pr[:, 3 * tt: 4 * tt] for pr in prods], axis=1)
-            valid, _, _, _, _ = _numerator_accept(
-                det, tn, un, vn, t_min, tmax_col, slop=slop)
-            blocked = jnp.max(valid.astype(jnp.int32), axis=1,
-                              keepdims=True)
+            if _LOOP_DEBUG == "dot":
+                upd = prods[0][:, 0:1]
+                for pr in prods[1:]:
+                    upd = upd + pr[:, 0:1]
+                blocked = (upd > BIG_T).astype(jnp.int32)
+            else:
+                det = jnp.concatenate(
+                    [pr[:, 0 * tt: 1 * tt] for pr in prods], axis=1)
+                tn = jnp.concatenate(
+                    [pr[:, 1 * tt: 2 * tt] for pr in prods], axis=1)
+                un = jnp.concatenate(
+                    [pr[:, 2 * tt: 3 * tt] for pr in prods], axis=1)
+                vn = jnp.concatenate(
+                    [pr[:, 3 * tt: 4 * tt] for pr in prods], axis=1)
+                valid, _, _, _, _ = _numerator_accept(
+                    det, tn, un, vn, t_min, tmax_col, slop=slop)
+                blocked = jnp.max(valid.astype(jnp.int32), axis=1,
+                                  keepdims=True)
             vis = vis * (1 - blocked)
             if early_exit:
                 maxrem = jnp.max(tmax_col * vis.astype(jnp.float32))
@@ -1394,6 +1414,11 @@ EARLY_EXIT = _os.environ.get("FLASH_EARLY_EXIT", "1") == "1"
 # 900 s / 64 320.6 ms at 520 s compile — 16 is the knee.
 GROUP = int(_os.environ.get("FLASH_GROUP", "16"))
 _ATTR_FULL_GRP = _os.environ.get("FLASH_ATTR_FULL_GRP", "0") == "1"
+# v3-loop stage bisection (WRONG OUTPUT — perf attribution only):
+#   "dot"    = per-cluster dot + loop machinery, no slicing/accept
+#   "accept" = + plane slicing + numerator accept + tile reduce,
+#              no winner refine / attr fetch (closest only)
+_LOOP_DEBUG = _os.environ.get("FLASH_LOOP_DEBUG", "")
 
 
 def _resident_bytes(fs: FlashScene, with_attrs: bool) -> int:

@@ -49,9 +49,10 @@ def main():
     nframes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     scopes = load_scopes(hlo)
-    paths = glob.glob(xglob, recursive=True)
+    import os
+    paths = sorted(glob.glob(xglob, recursive=True), key=os.path.getmtime)
     space = xplane_pb2.XSpace()
-    with open(paths[0], "rb") as f:
+    with open(paths[-1], "rb") as f:  # newest capture
         space.ParseFromString(f.read())
 
     by_scope = defaultdict(float)

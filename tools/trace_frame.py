@@ -50,6 +50,13 @@ def main():
     state = r.create_state()
     cam = jax.device_put(r.make_camera(camkw["eye"], camkw["target"], 0))
     light = jax.device_put(light)
+    # dump the EXACT compiled program alongside the trace so
+    # attrib_scopes joins the same HLO the xplane measured (a stale
+    # /tmp/frame_hlo.txt silently mis-attributes)
+    lowered = jax.jit(r.render_frame, donate_argnums=(0,)).lower(
+        state, cam, light)
+    with open("/tmp/frame_hlo.txt", "w") as f:
+        f.write(lowered.compile().as_text())
     outputs, state = step(state, cam, light)
     jax.block_until_ready(outputs["ldr"])
     print("compiled; tracing", flush=True)
