@@ -42,14 +42,10 @@ class AOOutputs(NamedTuple):
     final: jax.Array
 
 
-def ray_trace(
-    visibility_fn: Callable,
-    gb: GBuffer,
-    frame_index,
-    cfg: AOConfig,
-) -> jax.Array:
-    """1 cosine-lobe occlusion ray/pixel, finite length
-    (ao_ray_trace.comp:90-126)."""
+def make_rays(gb: GBuffer, frame_index, cfg: AOConfig):
+    """AO ray-gen (ao_ray_trace.comp:90-126): cosine-lobe sample, biased
+    origin, finite masked t_max. Split from the trace so the renderer can
+    batch this wavefront with shadows' into one launch."""
     h, w = gb.depth.shape
     # per-pixel cosine sample (reference ao_ray_trace.comp:90-126). A
     # g x g block-shared-sample variant ("sample_granularity") was
@@ -64,8 +60,25 @@ def ray_trace(
     # sky pixels: t_max = 0 so fully-sky packets trace nothing (the
     # sparse prepass culls on per-packet max t)
     geom = gb.mesh_id >= 0
-    vis = visibility_fn(origin, wi, jnp.where(geom, cfg.ray_length, 0.0))
-    return jnp.where(geom, vis, 1.0)
+    return origin, wi, jnp.where(geom, cfg.ray_length, 0.0)
+
+
+def finish_rays(vis, gb: GBuffer) -> jax.Array:
+    """Mask the traced visibility back to the image (sky pixels -> 1)."""
+    return jnp.where(gb.mesh_id >= 0, vis, 1.0)
+
+
+def ray_trace(
+    visibility_fn: Callable,
+    gb: GBuffer,
+    frame_index,
+    cfg: AOConfig,
+) -> jax.Array:
+    """1 cosine-lobe occlusion ray/pixel, finite length
+    (ao_ray_trace.comp:90-126)."""
+    origin, wi, t_max = make_rays(gb, frame_index, cfg)
+    vis = visibility_fn(origin, wi, t_max)
+    return finish_rays(vis, gb)
 
 
 def temporal_accumulation(
@@ -98,10 +111,13 @@ def ao_pass(
     state: AOState,
     frame_index,
     cfg: AOConfig,
+    raw=None,
 ):
     """Full AO pipeline (ray_traced_ao.cpp:98-112). Returns
-    (outputs, new_state)."""
-    raw = ray_trace(visibility_fn, gb_scaled, frame_index, cfg)
+    (outputs, new_state). raw: an already-traced visibility plane (the
+    renderer's batched wavefront); None traces here."""
+    if raw is None:
+        raw = ray_trace(visibility_fn, gb_scaled, frame_index, cfg)
 
     if not cfg.denoise:
         ao = raw

@@ -54,15 +54,11 @@ class ShadowsOutputs(NamedTuple):
     final: jax.Array  # full-res visibility
 
 
-def ray_trace(
-    visibility_fn: Callable,
-    gb: GBuffer,
-    light: Light,
-    frame_index,
-    cfg: ShadowsConfig,
-) -> jax.Array:
-    """1 shadow ray/pixel with blue-noise disk sampling on the light
-    (shadows_ray_trace.comp:73-131). Sky pixels get visibility 0."""
+def make_rays(gb: GBuffer, light: Light, frame_index, cfg: ShadowsConfig):
+    """Shadow ray-gen (shadows_ray_trace.comp:73-131): blue-noise disk
+    sample on the light, biased origin, masked t_max. Returns
+    (origin, dir, t_max, att) — split from the trace so the renderer can
+    batch this wavefront with AO's into one launch (visibility_fn.many)."""
     h, w = gb.depth.shape
     # blue-noise light-disk sample (reference uses BLUE_NOISE_1SPP,
     # shadows_ray_trace.comp:73-77)
@@ -81,9 +77,27 @@ def ray_trace(
     # produce empty cluster lists in the sparse-tracer prepass and skip
     # ALL kernel work (packet_cluster_lists culls on per-packet max t)
     live = (gb.mesh_id >= 0) & (att > 0.0)
-    vis = visibility_fn(origin, wi, jnp.where(live, t_max, 0.0))
+    return origin, wi, jnp.where(live, t_max, 0.0), att
+
+
+def finish_rays(vis, gb: GBuffer, att) -> jax.Array:
+    """Mask the traced visibility back to the image (sky pixels -> 0)."""
     vis = jnp.where(att > 0.0, vis, 0.0)
     return jnp.where(gb.mesh_id >= 0, vis, 0.0)
+
+
+def ray_trace(
+    visibility_fn: Callable,
+    gb: GBuffer,
+    light: Light,
+    frame_index,
+    cfg: ShadowsConfig,
+) -> jax.Array:
+    """1 shadow ray/pixel with blue-noise disk sampling on the light
+    (shadows_ray_trace.comp:73-131). Sky pixels get visibility 0."""
+    origin, wi, t_max, att = make_rays(gb, light, frame_index, cfg)
+    vis = visibility_fn(origin, wi, t_max)
+    return finish_rays(vis, gb, att)
 
 
 def temporal_accumulation(
@@ -144,11 +158,15 @@ def shadows_pass(
     state: ShadowsState,
     frame_index,
     cfg: ShadowsConfig,
+    raw=None,
 ):
     """Full shadows pipeline (ray_traced_shadows.cpp:100-116). Returns
     (outputs, new_state). gb_scaled is the mip-matched G-buffer for the
-    configured RayTraceScale; gb_full drives the upsample."""
-    raw = ray_trace(visibility_fn, gb_scaled, light, frame_index, cfg)
+    configured RayTraceScale; gb_full drives the upsample. raw: an
+    already-traced visibility plane (the renderer's batched wavefront);
+    None traces here."""
+    if raw is None:
+        raw = ray_trace(visibility_fn, gb_scaled, light, frame_index, cfg)
 
     if not cfg.denoise:
         final = raw

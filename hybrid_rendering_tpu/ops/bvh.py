@@ -374,30 +374,18 @@ def make_surface_tracer(scene: SceneArrays, method: str = "auto"):
             return hit, surf
 
     def wrapped(origin, direction, t_max):
-        shape = origin.shape[:-1]
-        tm_full = jnp.broadcast_to(jnp.asarray(t_max, origin.dtype), shape)
-        b = _pick_block(*shape) if len(shape) == 2 else 1
-        if b > 1:
-            H, W = shape
-            o = _block_linearize(origin, H, W, b)
-            d = _block_linearize(direction, H, W, b)
-            tm = _block_linearize(tm_full, H, W, b)
-        else:
-            o = origin.reshape(-1, 3)
-            d = direction.reshape(-1, 3)
-            tm = tm_full.reshape(-1)
+        (o, d, tm), (shape, b) = _linearize_req(origin, direction, t_max)
         hit, surf = closest_surface_flat(o, d, tm)
-
-        def back(arr):
-            if b > 1:
-                return _block_delinearize(arr, shape[0], shape[1], b)
-            return arr.reshape(shape + arr.shape[1:])
-
-        hit = Hit(t=back(hit.t), tri_id=back(hit.tri_id),
-                  u=back(hit.u), v=back(hit.v))
-        surf = jax.tree_util.tree_map(back, surf)
+        hit = Hit(t=_delinearize(hit.t, shape, b),
+                  tri_id=_delinearize(hit.tri_id, shape, b),
+                  u=_delinearize(hit.u, shape, b),
+                  v=_delinearize(hit.v, shape, b))
+        surf = jax.tree_util.tree_map(
+            lambda a: _delinearize(a, shape, b), surf)
         return hit, surf
 
+    wrapped.many = lambda reqs: _concat_trace_split(
+        closest_surface_flat, reqs)
     return wrapped
 
 
@@ -426,36 +414,72 @@ def _block_delinearize(x, H, W, b):
     return x.reshape(H, W, *rest)
 
 
+def _linearize_req(origin, direction, t_max):
+    """One trace request -> (flat (R,3)/(R,) operands, delinearize meta).
+    2-D image batches are reordered into coherent pixel blocks."""
+    shape = origin.shape[:-1]
+    tm_full = jnp.broadcast_to(jnp.asarray(t_max, origin.dtype), shape)
+    b = _pick_block(*shape) if len(shape) == 2 else 1
+    if b > 1:
+        H, W = shape
+        o = _block_linearize(origin, H, W, b)
+        d = _block_linearize(direction, H, W, b)
+        tm = _block_linearize(tm_full, H, W, b)
+    else:
+        o = origin.reshape(-1, 3)
+        d = direction.reshape(-1, 3)
+        tm = tm_full.reshape(-1)
+    return (o, d, tm), (shape, b)
+
+
+def _delinearize(arr, shape, b):
+    if b > 1:
+        return _block_delinearize(arr, shape[0], shape[1], b)
+    return arr.reshape(shape + arr.shape[1:])
+
+
+def _concat_trace_split(fn, reqs):
+    """Concatenate N (origin, dir, t_max) requests into ONE flat trace
+    launch and split/delinearize the outputs back per request.
+
+    The TPU analog of merging ray-gen dispatches: every flat launch pays
+    a fixed prepass + Mosaic dispatch cost, so independent same-frame
+    wavefronts (shadow vis + AO vis; reflection + probe closest-hit) ride
+    one launch (VERDICT r4 #1a). Each request is block-linearized
+    SEPARATELY, so packet coherence within a request is unchanged; at
+    most one 256-ray packet straddles a request boundary."""
+    lin = [_linearize_req(*r) for r in reqs]
+    sizes = [l[0][0].shape[0] for l in lin]
+    o = jnp.concatenate([l[0][0] for l in lin], axis=0)
+    d = jnp.concatenate([l[0][1] for l in lin], axis=0)
+    tm = jnp.concatenate([l[0][2] for l in lin], axis=0)
+    out = fn(o, d, tm)
+    results = []
+    off = 0
+    for n, (_, (shape, b)) in zip(sizes, lin):
+        part = jax.tree_util.tree_map(lambda a: a[off:off + n], out)
+        results.append(
+            jax.tree_util.tree_map(lambda a: _delinearize(a, shape, b),
+                                   part))
+        off += n
+    return results
+
+
 def _make_flat(fn):
     """Adapt a flat-(R,3) tracer to arbitrary (..., 3) batches. 2-D image
-    batches are reordered into coherent pixel blocks around the call."""
+    batches are reordered into coherent pixel blocks around the call.
+    The returned fn also exposes ``.many([(o, d, tm), ...]) -> [out, ...]``
+    which fuses independent requests into one launch."""
 
     def wrapped(origin, direction, t_max):
-        shape = origin.shape[:-1]
-        tm_full = jnp.broadcast_to(
-            jnp.asarray(t_max, origin.dtype), shape
-        )
-        b = _pick_block(*shape) if len(shape) == 2 else 1
-        blocked = b > 1
-        if blocked:
-            H, W = shape
-            o = _block_linearize(origin, H, W, b)
-            d = _block_linearize(direction, H, W, b)
-            tm = _block_linearize(tm_full, H, W, b)
-        else:
-            o = origin.reshape(-1, 3)
-            d = direction.reshape(-1, 3)
-            tm = tm_full.reshape(-1)
+        (o, d, tm), (shape, b) = _linearize_req(origin, direction, t_max)
         out = fn(o, d, tm)
-
-        def back(arr):
-            if blocked:
-                return _block_delinearize(arr, shape[0], shape[1], b)
-            return arr.reshape(shape)
-
         if isinstance(out, Hit):
-            return Hit(t=back(out.t), tri_id=back(out.tri_id),
-                       u=back(out.u), v=back(out.v))
-        return back(out)
+            return Hit(t=_delinearize(out.t, shape, b),
+                       tri_id=_delinearize(out.tri_id, shape, b),
+                       u=_delinearize(out.u, shape, b),
+                       v=_delinearize(out.v, shape, b))
+        return _delinearize(out, shape, b)
 
+    wrapped.many = lambda reqs: _concat_trace_split(fn, reqs)
     return wrapped
